@@ -1,0 +1,96 @@
+"""
+Kernel-comparative benchmark suite: the reference's six pytest-benchmark
+groups (reference: tests/test_bench_multiply.py, tests/test_bench_mult_vec.py)
+as a standalone script, parameterized over kernels.
+
+Prints one JSON line per (group, kernel, param) with ms/op.  These are
+end-to-end API timings (including handle creation), complementary to the
+roofline-focused `bench.py`.
+
+Usage: python benchmarks.py [--kernels scipy,xla,pallas] [--fast]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+from csr_tpu import CSR
+from csr_tpu.kernels import use_kernel
+
+
+def make_csr(nrows, ncols, density, rng):
+    m = sps.random(nrows, ncols, density, format="csr", random_state=rng)
+    return CSR.from_scipy(m)
+
+
+def timeit(fn, min_repeat=3, max_time=2.0):
+    fn()  # warmup / compile
+    times = []
+    t_total = 0.0
+    while len(times) < min_repeat or t_total < max_time / 4:
+        t0 = time.perf_counter()
+        r = fn()
+        try:
+            import jax
+
+            jax.block_until_ready(r)
+        except Exception:
+            pass
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        t_total += dt
+        if len(times) >= 50:
+            break
+    return float(np.median(times) * 1e3)
+
+
+def report(group, kernel, param, ms):
+    print(json.dumps({"group": group, "kernel": kernel, "param": param,
+                      "ms_per_op": round(ms, 4)}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernels", default="scipy,xla,pallas")
+    ap.add_argument("--fast", action="store_true")
+    args = ap.parse_args()
+    kernels = args.kernels.split(",")
+    rng = np.random.default_rng(42)
+
+    # fixed-workload groups (reference: tests/test_bench_multiply.py:9-24,66-81)
+    A1 = make_csr(100, 500, 0.1, rng)
+    B1 = make_csr(500, 200, 0.2, rng)
+    At = make_csr(100, 500, 0.1, rng)
+    Bt = make_csr(200, 500, 0.2, rng)
+    Ax = make_csr(100, 100, 0.1, rng)
+    v = rng.standard_normal(100)
+
+    for k in kernels:
+        with use_kernel(k):
+            report("MultAB", k, None, timeit(lambda: A1.multiply(B1)))
+            report("MultABt", k, None, timeit(lambda: At.multiply(Bt, transpose=True)))
+            report("MultAx", k, None, timeit(lambda: Ax.mult_vec(v)))
+
+    densities = [0.1, 0.5, 1.0] if args.fast else [round(x, 1) for x in np.arange(0, 1.01, 0.1)]
+    for dens in densities:
+        Ad = make_csr(100, 100, dens, rng)
+        Bd = make_csr(100, 100, dens, rng)
+        for k in kernels:
+            with use_kernel(k):
+                report("MultAB-Density", k, dens, timeit(lambda: Ad.multiply(Bd)))
+                report("MultABt-Density", k, dens, timeit(lambda: Ad.multiply(Bd, transpose=True)))
+
+    sizes = [10, 100, 500] if args.fast else [5, 10, 15, 25, 50, 100, 200, 250, 500, 750, 1000]
+    for size in sizes:
+        As = make_csr(size, size, 0.1, rng)
+        Bs = make_csr(size, size, 0.1, rng)
+        for k in kernels:
+            with use_kernel(k):
+                report("MultAB-Size", k, size, timeit(lambda: As.multiply(Bs)))
+
+
+if __name__ == "__main__":
+    main()

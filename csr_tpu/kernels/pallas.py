@@ -1,0 +1,163 @@
+"""
+Pallas TPU kernel backend — the tuned device backend (the role the MKL
+vendor kernel plays in the reference, csr/kernels/mkl/).
+
+``to_handle`` performs the device layout work (micro-block packing, see
+:mod:`csr_tpu.ops.microblock`) the way the MKL kernel's ``to_handle``
+normalizes dtypes and builds MKL handles
+(reference: csr/kernels/mkl/handle.py:61-70).  Handles own device buffers;
+``release_handle`` drops them eagerly.
+
+SpMV runs the micro-block Pallas kernel (:mod:`csr_tpu.ops.spmv`).
+SpGEMM uses output densification (:mod:`csr_tpu.kernels.xla`), which on
+TPU maps the irregular SMMP work onto dense vector/matrix units.
+
+On hosts without a TPU the Pallas kernels run in interpreter mode, which
+is this backend's analog of the reference's ``NUMBA_DISABLE_JIT`` testing
+mode (reference: .github/workflows/test.yml:72-80).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from csr_tpu.kernels import xla as _xla
+from csr_tpu.ops import microblock, spmm as _spmm_op, spmv as _spmv_op
+
+# Per-operation capacity.  The micro-block arrays cost 12 B/entry plus
+# padding; cap handles at ~1/4 of a 16 GB HBM (the same role as the MKL
+# kernel's int32 max_nnz capacity contract, reference: csr/kernels/mkl/__init__.py:5).
+max_nnz = 256 * 1024 * 1024
+
+#: rows/cols ceiling for the VMEM-resident dense operand & output (per 128-window)
+_VMEM_WINDOWS = 16 * 1024
+
+
+def _interpret_mode() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+class PallasHandle:
+    """Device handle: the CSR plus its (lazily built) micro-block layout."""
+
+    __slots__ = ("csr", "_layout", "_xla_handle")
+
+    def __init__(self, csr):
+        self.csr = csr
+        self._layout = None
+        self._xla_handle = None
+
+    @property
+    def layout(self) -> microblock.MicroBlockLayout:
+        if self._layout is None:
+            self._layout = microblock.build_microblocks(self.csr)
+        return self._layout
+
+    @property
+    def xla_handle(self):
+        if self._xla_handle is None:
+            self._xla_handle = _xla.to_handle(self.csr)
+        return self._xla_handle
+
+
+def to_handle(csr):
+    return PallasHandle(csr)
+
+
+def from_handle(h):
+    from csr_tpu import CSR
+
+    c = h.csr
+    return CSR(c.nrows, c.ncols, c.nnz, c.rowptrs, c.colinds, c.values, _cast=False)
+
+
+def release_handle(h):
+    h._layout = None
+    h._xla_handle = None
+
+
+def order_columns(h):
+    h.csr.sort_rows()
+    h._layout = None
+
+
+def _pallas_viable(csr, v_dtype) -> bool:
+    if csr.nnz == 0:
+        return False
+    if jnp.dtype(v_dtype) == jnp.float64 or (
+        csr.values is not None and csr.values.dtype == jnp.float64
+    ):
+        # f64 is emulated on TPU; use the XLA path for full-precision work
+        return False
+    rb = -(-csr.nrows // microblock.LANE)
+    cb = -(-csr.ncols // microblock.LANE)
+    return rb <= _VMEM_WINDOWS and cb <= _VMEM_WINDOWS
+
+
+def mult_vec(h, v):
+    """SpMV via the micro-block Pallas kernel, with XLA fallback for f64 or
+    matrices whose dense operand exceeds VMEM."""
+    if not _pallas_viable(h.csr, v.dtype):
+        return _xla.mult_vec(h.xla_handle, v)
+    out = _spmv_op.spmv(h.layout, v, interpret=_interpret_mode())
+    out_dtype = _xla._result_dtype(
+        h.csr._required_values().dtype, jnp.asarray(v).dtype
+    )
+    return out.astype(out_dtype)
+
+
+def _spmm_viable(csr, n_out_rows: int) -> bool:
+    """Can the micro-block SpMM hold its B panel and output in VMEM?"""
+    if csr.nnz == 0:
+        return False
+    cb = -(-csr.ncols // microblock.LANE)
+    rb = -(-n_out_rows // microblock.LANE)
+    # B panel (k_pad x 128) + output (rows_pad x 128) in f32, < ~10 MB
+    return (cb + rb) * microblock.LANE * microblock.LANE * 4 < 10 * 2**20
+
+
+def mult_dense(h, B):
+    """SpMM ``A @ B`` with dense B via the MXU micro-block kernel."""
+    B = jnp.asarray(B)
+    if jnp.dtype(B.dtype) == jnp.float64 or not _spmm_viable(h.csr, h.csr.nrows):
+        return _xla.mult_dense(h.xla_handle, B)
+    out = _spmm_op.spmm(h.layout, B, interpret=_interpret_mode())
+    out_dtype = _xla._result_dtype(h.csr._required_values().dtype, B.dtype)
+    return out.astype(out_dtype)
+
+
+def _spgemm(a_h, b_h, transpose: bool):
+    """SpGEMM by output densification: densify B (or B^T), run the MXU
+    SpMM, compact the dense product back to CSR.  On TPU this replaces
+    SMMP-style symbolic/numeric passes (reference:
+    csr/kernels/numba/multiply.py:60-129): at SpGEMM-practical densities
+    the MXU's dense throughput beats any gather/scatter formulation."""
+    a, b = a_h.csr, b_h.csr
+    b_vals = b._required_values()
+    out_dtype = _xla._result_dtype(a._required_values().dtype, b_vals.dtype)
+    bx = b_h.xla_handle
+    b_dense = _xla._densify(
+        b_vals, b.colinds, bx.row_ids, b.nrows, b.ncols, jnp.float32
+    )
+    if transpose:
+        b_dense = b_dense.T
+    n_out_cols = b_dense.shape[1]
+    if out_dtype == jnp.float64 or not _spmm_viable(a, a.nrows):
+        c_dense = _xla._spgemm_dense(
+            a._required_values(), a.colinds, a_h.xla_handle.row_ids,
+            b_dense, a.nrows, n_out_cols, out_dtype,
+        )
+    else:
+        c_dense = _spmm_op.spmm(a_h.layout, b_dense, interpret=_interpret_mode())
+        c_dense = c_dense.astype(out_dtype)
+    return to_handle(_xla.dense_to_csr(c_dense))
+
+
+def mult_ab(a_h, b_h):
+    return _spgemm(a_h, b_h, transpose=False)
+
+
+def mult_abt(a_h, b_h):
+    return _spgemm(a_h, b_h, transpose=True)

@@ -1,0 +1,140 @@
+"""
+Pallas TPU SpMM kernel: sparse (micro-block) x dense-tall.
+
+``C = A @ B`` with A in micro-block layout and B dense ``(k, n)``.
+
+Where SpMV uses ``dynamic_gather`` + lane cumsum, SpMM routes everything
+through the MXU: for each micro-row (128 entries in one 128x128
+row/column window) we build two selection matrices from the layout and
+contract them on the systolic array:
+
+* ``S[c, e] = vals[e] * (lo[e] == c)`` — scaled column-selection one-hot.
+  ``dot(S, B_win)`` contracted over ``c`` gathers and scales the needed
+  B rows: the MXU does the "gather".
+* ``R[e, r] = (eposprev[r] <= e < epos[r])`` — row-membership mask.
+  ``dot(R, .)`` contracted over ``e`` performs the segment reduction: the
+  MXU does the "scatter-add".
+
+Both one-hots are built with broadcast compares oriented so no in-kernel
+transposes are needed (the varying operand always varies along the lane
+axis).  Cost: ~4 MXU FLOPs per stored entry per output column plus ~100
+vector instructions per 128 entries — MXU-bound for wide B, which is the
+right place to be on TPU.
+
+Replaces the dense-operand half of the reference's SpGEMM paths
+(reference: csr/kernels/numba/multiply.py:103-129 numeric pass).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .microblock import LANE, MR_BLOCK, MicroBlockLayout
+
+N_TILE = 128
+
+
+def _spmm_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, b_ref, out_ref):
+    i = pl.program_id(1)  # micro-row block step (minor: B/out tiles stay put)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    def body(m, _):
+        rbcb = rbcb_ref[m]
+        cb = rbcb & 0xFFFF
+        rb = rbcb >> 16
+        vals = vals_ref[pl.ds(m, 1), :]  # (1, 128) entries along lanes
+        lo = lo_ref[pl.ds(m, 1), :]
+        epos = epos_ref[pl.ds(m, 1), :]
+
+        # S[c, e]: scaled one-hot of each entry's window column
+        lo_b = jnp.broadcast_to(lo, (LANE, LANE))
+        vals_b = jnp.broadcast_to(vals, (LANE, LANE))
+        S = jnp.where(c_iota == lo_b, vals_b, 0.0)
+
+        # R[e, r]: row membership from boundary prefix counts
+        eposprev = pltpu.roll(epos, 1, axis=1)
+        eposprev = jnp.where(lane == 0, 0, eposprev)
+        ep_b = jnp.broadcast_to(epos, (LANE, LANE))
+        epp_b = jnp.broadcast_to(eposprev, (LANE, LANE))
+        R = jnp.where((e_iota >= epp_b) & (e_iota < ep_b), 1.0, 0.0)
+
+        b_win = b_ref[pl.ds(cb * LANE, LANE), :]
+        # gathered[e, :] = vals[e] * B[cb*128 + lo[e], :]  (MXU)
+        gathered = jax.lax.dot_general(
+            S, b_win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # c_win[r, :] = sum of gathered over entries of row r  (MXU)
+        c_win = jax.lax.dot_general(
+            R, gathered, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[pl.ds(rb * LANE, LANE), :] += c_win
+        return 0
+
+    jax.lax.fori_loop(0, MR_BLOCK, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m_pad", "rb_count", "k_pad", "n_pad", "interpret")
+)
+def _spmm_call(
+    vals, lo, epos, rbcb, b_pad,
+    m_pad: int, rb_count: int, k_pad: int, n_pad: int, interpret: bool,
+):
+    n_mr = m_pad // MR_BLOCK
+    n_n = n_pad // N_TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_n, n_mr),
+        in_specs=[
+            pl.BlockSpec((MR_BLOCK,), lambda j, i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
+            pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
+            pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
+            pl.BlockSpec((k_pad, N_TILE), lambda j, i: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((rb_count * LANE, N_TILE), lambda j, i: (0, j)),
+    )
+    return pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rb_count * LANE, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * LANE * LANE * n_pad,
+            bytes_accessed=n_n * m_pad * LANE * 12 + k_pad * n_pad * 4
+            + rb_count * LANE * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(rbcb, vals, lo, epos, b_pad)
+
+
+def spmm(layout: MicroBlockLayout, b, *, interpret: bool = False):
+    """``A @ B`` with dense ``B`` of shape ``(A.ncols, n)``; returns the
+    dense float32 product of shape ``(A.nrows, n)``."""
+    k, n = b.shape
+    assert k == layout.ncols
+    cb_count = max(layout.cb_count, 1)
+    rb_count = max(layout.rb_count, 1)
+    k_pad = cb_count * LANE
+    n_pad = max(-(-n // N_TILE) * N_TILE, N_TILE)
+    b_pad = jnp.zeros((k_pad, n_pad), jnp.float32)
+    b_pad = b_pad.at[:k, :n].set(b.astype(jnp.float32))
+    out = _spmm_call(
+        layout.vals, layout.lo, layout.epos, layout.rbcb, b_pad,
+        layout.vals.shape[0], rb_count, k_pad, n_pad, interpret,
+    )
+    return out[: layout.nrows, :n]

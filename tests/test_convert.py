@@ -1,0 +1,52 @@
+"""Conversion tests (reference: tests/test_convert.py)."""
+
+import numpy as np
+import scipy.sparse as sps
+from hypothesis import given
+
+from csr_tpu import CSR
+from csr_tpu.test_utils import csrs, sparse_matrices
+from util import to_dense
+
+
+@given(sparse_matrices(max_shape=(120, 120)))
+def test_from_scipy_roundtrip(mat):
+    c = CSR.from_scipy(mat)
+    assert c.nrows, c.ncols == mat.shape
+    assert c.nnz == mat.nnz
+    np.testing.assert_allclose(to_dense(c), mat.toarray(), rtol=1e-6)
+
+
+@given(sparse_matrices(max_shape=(80, 80), format="coo"))
+def test_from_scipy_other_format(mat):
+    c = CSR.from_scipy(mat)
+    np.testing.assert_allclose(to_dense(c), mat.toarray(), rtol=1e-6)
+
+
+@given(csrs())
+def test_to_scipy(csr):
+    m = csr.to_scipy()
+    assert sps.issparse(m)
+    assert m.shape == (csr.nrows, csr.ncols)
+    if csr.values is None:
+        # structure-only densifies to 1s
+        assert np.all(m.data == 1.0)
+
+
+@given(csrs())
+def test_coo_roundtrip(csr):
+    rows = np.asarray(csr.rowinds())
+    cols = np.asarray(csr.colinds)
+    vals = None if csr.values is None else np.asarray(csr.values)
+    c2 = CSR.from_coo(rows, cols, vals, (csr.nrows, csr.ncols))
+    np.testing.assert_allclose(to_dense(c2), to_dense(csr), rtol=1e-6)
+
+
+@given(csrs())
+def test_normalize(csr):
+    n = csr._normalize(np.float64, np.int64)
+    assert n.values is not None
+    assert n.values.dtype in (np.float32, np.float64)  # f64 truncates w/o x64
+    np.testing.assert_allclose(to_dense(n), to_dense(csr), rtol=1e-6)
+    n2 = csr._normalize(False)
+    assert n2.values is None

@@ -1,0 +1,106 @@
+"""Construction tests (reference: tests/test_initialize.py)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+import hypothesis.strategies as st
+
+from csr_tpu import CSR, create_empty, create_from_sizes
+from csr_tpu.test_utils import csrs
+
+
+def test_create_empty_basic():
+    m = create_empty(5, 7)
+    assert m.nrows == 5
+    assert m.ncols == 7
+    assert m.nnz == 0
+    assert np.all(np.asarray(m.rowptrs) == 0)
+
+
+@given(st.integers(0, 100), st.integers(0, 100))
+def test_empty(nrows, ncols):
+    m = CSR.empty(nrows, ncols)
+    assert m.nrows == nrows
+    assert m.ncols == ncols
+    assert m.nnz == 0
+    assert len(m.rowptrs) == nrows + 1
+
+
+@given(st.data())
+def test_empty_with_sizes(data):
+    nrows = data.draw(st.integers(1, 50))
+    ncols = data.draw(st.integers(1, 50))
+    sizes = data.draw(
+        st.lists(st.integers(0, ncols), min_size=nrows, max_size=nrows)
+    )
+    m = CSR.empty(nrows, ncols, row_nnzs=sizes)
+    assert m.nrows == nrows
+    assert m.nnz == sum(sizes)
+    assert np.all(np.diff(np.asarray(m.rowptrs)) == np.asarray(sizes))
+    assert m.values is not None
+    assert np.all(np.asarray(m.values) == 0)
+
+
+def test_empty_novalues():
+    m = CSR.empty(4, 4, row_nnzs=[1, 0, 2, 1], values=False)
+    assert m.values is None
+    assert m.nnz == 4
+
+
+def test_empty_custom_dtype():
+    m = CSR.empty(4, 4, row_nnzs=[1, 0, 2, 1], values="f4")
+    assert m.values.dtype == np.float32
+
+
+@given(st.data())
+def test_create_from_sizes(data):
+    nrows = data.draw(st.integers(1, 30))
+    ncols = data.draw(st.integers(1, 30))
+    sizes = np.asarray(
+        data.draw(st.lists(st.integers(0, ncols), min_size=nrows, max_size=nrows)),
+        np.int32,
+    )
+    m = create_from_sizes(nrows, ncols, sizes)
+    assert m.nrows == nrows
+    assert m.nnz == int(sizes.sum())
+    assert np.all(np.asarray(m.colinds) == -1)
+
+
+@given(csrs())
+def test_csr_from_coo_roundtrip(csr):
+    """COO data -> CSR has consistent structure."""
+    assert csr.nnz == int(csr.rowptrs[-1])
+    assert len(csr.colinds) == csr.nnz
+    if csr.values is not None:
+        assert len(csr.values) == csr.nnz
+    # row pointers are monotone
+    rps = np.asarray(csr.rowptrs)
+    assert np.all(np.diff(rps) >= 0)
+    cis = np.asarray(csr.colinds)
+    if csr.nnz:
+        assert cis.min() >= 0
+        assert cis.max() < csr.ncols
+
+
+def test_from_coo_shape_inference():
+    m = CSR.from_coo(np.array([0, 2]), np.array([1, 3]), np.array([1.0, 2.0]))
+    assert m.nrows == 3
+    assert m.ncols == 4
+
+
+def test_from_coo_novalue():
+    m = CSR.from_coo(np.array([0, 1]), np.array([1, 0]), None, (2, 2))
+    assert m.values is None
+    d = m.to_scipy().toarray()
+    assert np.all(d == np.array([[0, 1], [1, 0]]))
+
+
+def test_from_coo_preserves_in_row_order():
+    """Entries keep their input order within a row (stable conversion,
+    reference: csr/structure.py:36-58)."""
+    rows = np.array([0, 0, 0])
+    cols = np.array([5, 2, 7])
+    vals = np.array([1.0, 2.0, 3.0])
+    m = CSR.from_coo(rows, cols, vals, (1, 10))
+    assert np.all(np.asarray(m.colinds) == [5, 2, 7])
+    assert np.all(np.asarray(m.values) == [1.0, 2.0, 3.0])

@@ -1,0 +1,69 @@
+"""Micro-block layout invariant tests.
+
+The analog of the reference's direct SMMP symbolic-pass unit tests
+(reference: tests/test_kernel_numba.py:14-30): verify the Pallas kernels'
+data layout directly.
+"""
+
+import numpy as np
+from hypothesis import given
+import hypothesis.strategies as st
+
+from csr_tpu.ops.microblock import LANE, build_microblocks
+from csr_tpu.test_utils import csrs
+from util import to_dense
+
+
+@given(csrs(values=True))
+def test_microblock_invariants(csr):
+    mb = build_microblocks(csr)
+    vals = np.asarray(mb.vals)
+    lo = np.asarray(mb.lo)
+    epos = np.asarray(mb.epos)
+    rbcb = np.asarray(mb.rbcb)
+
+    assert vals.shape == lo.shape == epos.shape
+    assert vals.shape[1] == LANE
+    assert mb.n_microrows <= vals.shape[0]
+
+    # epos rows are monotone prefix counts ending at the micro-row's entry count
+    assert np.all(np.diff(epos, axis=1) >= 0)
+    assert np.all(epos >= 0)
+    assert np.all(epos[:, -1] <= LANE)
+
+    # every window coordinate is in range
+    rb = rbcb >> 16
+    cb = rbcb & 0xFFFF
+    assert np.all(rb >= 0)
+    assert np.all(cb >= 0)
+    if csr.nnz:
+        assert rb.max() <= (csr.nrows - 1) >> 7
+        assert cb.max() <= (csr.ncols - 1) >> 7
+
+    # reconstruct the dense matrix from the layout: every stored entry
+    # appears exactly once with its window-local coordinates
+    dense = np.zeros((mb.rb_count * LANE, mb.cb_count * LANE))
+    m = mb.n_microrows
+    for mr in range(m):
+        counts = np.diff(np.concatenate([[0], epos[mr]]))
+        local_rows = np.repeat(np.arange(LANE), counts)
+        n = len(local_rows)
+        for s in range(n):
+            r = (rb[mr] << 7) + local_rows[s]
+            c = (cb[mr] << 7) + lo[mr, s]
+            dense[r, c] += vals[mr, s]
+        # padding slots hold zero values
+        assert np.all(vals[mr, n:] == 0)
+
+    ref = to_dense(csr)
+    np.testing.assert_allclose(
+        dense[: csr.nrows, : csr.ncols], ref, rtol=1e-5,
+        atol=1e-5 * max(1.0, np.abs(ref).max(initial=0)),
+    )
+
+
+@given(csrs())
+def test_microblock_fill(csr):
+    mb = build_microblocks(csr)
+    if csr.nnz:
+        assert 0 < mb.fill <= 1.0
