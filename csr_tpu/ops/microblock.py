@@ -164,6 +164,11 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
     lo[mr_idx, slot] = scol & (LANE - 1)
     rbcb = np.zeros(m_pad, np.int32)
     rbcb[mr_idx] = (srb.astype(np.int32) << 16) | scb.astype(np.int32)
+    if m_pad > m:
+        # padding micro-rows keep the last real window coordinates so the
+        # micro-row stream stays sorted by (rb, cb); their epos is all-zero
+        # so they contribute nothing
+        rbcb[m:] = rbcb[m - 1]
 
     lrow = (srid & (LANE - 1)).astype(np.int64)
     cnt = np.bincount(mr_idx * LANE + lrow, minlength=m_pad * LANE)
