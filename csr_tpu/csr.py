@@ -69,7 +69,7 @@ class CSR:
         values(jax.Array or None): the values, shape ``(nnz,)``.
     """
 
-    __slots__ = ("nrows", "ncols", "rowptrs", "colinds", "_values")
+    __slots__ = ("nrows", "ncols", "rowptrs", "colinds", "_values", "_host")
 
     def __init__(self, nrows, ncols, nnz, rps, cis, vs, _cast=True):
         assert nrows >= 0
@@ -79,6 +79,22 @@ class CSR:
         assert nnz >= 0
         self.nrows = int(nrows)
         self.ncols = int(ncols)
+
+        # keep host copies when the data arrived as numpy: kernel handle
+        # creation (micro-block packing) runs on the host, and pulling
+        # device buffers back is expensive on remote TPU runtimes
+        if (
+            not isinstance(rps, jax.Array)
+            and not isinstance(cis, jax.Array)
+            and (vs is None or not isinstance(vs, jax.Array))
+        ):
+            self._host = (
+                np.asarray(rps),
+                np.asarray(cis),
+                None if vs is None else np.asarray(vs),
+            )
+        else:
+            self._host = None
 
         if _cast:
             cis = _as_index_array(cis, COLIND_DTYPE)
@@ -115,6 +131,7 @@ class CSR:
     @values.setter
     def values(self, vs):
         # reference semantics: csr/csr.py:225-242
+        self._host = None
         if vs is None:
             self._values = None
             return
@@ -316,6 +333,7 @@ class CSR:
         )
         self.colinds = cis
         self._values = vs
+        self._host = None
 
     def subset_rows(self, begin, end):
         """Subset the rows in this matrix (reference: csr/csr.py:330-345)."""
@@ -386,6 +404,7 @@ class CSR:
         else:
             raise ValueError("unknown normalization: " + normalization)
         self._values = vs
+        self._host = None
         return stats
 
     def transpose(self, include_values=True):
@@ -515,6 +534,7 @@ class CSR:
         self.rowptrs = rps
         self.colinds = cis
         self._values = vs
+        self._host = None
 
     def _shard_rows(self, tgt_nnz):
         """Shard by rows so each shard has at most ``tgt_nnz`` stored
@@ -555,10 +575,12 @@ class CSR:
         (reference: csr/csr.py:652-661)."""
         warnings.warn("drop_values is deprecated", DeprecationWarning)
         self._values = None
+        self._host = None
 
     def fill_values(self, value):
         """Fill values with a constant **in place**, adding a value array to
         structure-only matrices (reference: csr/csr.py:663-675)."""
+        self._host = None
         if self.values is not None:
             self._values = jnp.full_like(self.values, value)
         else:
@@ -613,6 +635,7 @@ def _csr_unflatten(aux, children):
     obj.rowptrs = rps
     obj.colinds = cis
     obj._values = vs
+    obj._host = None
     return obj
 
 

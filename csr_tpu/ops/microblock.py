@@ -93,10 +93,14 @@ def build_microblocks(csr) -> MicroBlockLayout:
     For data that is already on the host, use
     :func:`build_microblocks_host` to avoid pulling device buffers back.
     """
-    vals = None if csr.values is None else np.asarray(csr.values)
-    return build_microblocks_host(
-        csr.nrows, csr.ncols, np.asarray(csr.rowptrs), np.asarray(csr.colinds), vals
-    )
+    host = getattr(csr, "_host", None)
+    if host is not None:
+        rp, cis, vals = host
+    else:
+        rp = np.asarray(csr.rowptrs)
+        cis = np.asarray(csr.colinds)
+        vals = None if csr.values is None else np.asarray(csr.values)
+    return build_microblocks_host(csr.nrows, csr.ncols, rp, cis, vals)
 
 
 def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
@@ -152,23 +156,46 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
 
     grp_sizes = np.bincount(grp_id)
     grp_mrs = -(-grp_sizes // LANE)
-    grp_mr_off = np.cumsum(grp_mrs) - grp_mrs
+    n_grps = len(grp_sizes)
+    grp_rb = srb[np.flatnonzero(newgrp)]
+
+    # Stripes = runs of groups sharing one row window (rb).  Each stripe's
+    # micro-row count is padded to a multiple of 8 so that every 8-micro-row
+    # vector register has a UNIFORM rb: the SpMV kernel then reduces a
+    # vreg's row sums with one sublane sum + one dense add instead of 8
+    # scattered read-modify-writes.
+    new_stripe = np.empty(n_grps, bool)
+    new_stripe[0] = True
+    new_stripe[1:] = grp_rb[1:] != grp_rb[:-1]
+    stripe_id = np.cumsum(new_stripe) - 1
+    n_stripes = int(stripe_id[-1]) + 1
+    stripe_mrs = np.bincount(stripe_id, weights=grp_mrs).astype(np.int64)
+    stripe_pad = -(-stripe_mrs // 8) * 8
+    stripe_off = np.cumsum(stripe_pad) - stripe_pad
+
+    grp_cum = np.cumsum(grp_mrs) - grp_mrs
+    stripe_first_cum = grp_cum[np.flatnonzero(new_stripe)]
+    grp_off_in_stripe = grp_cum - stripe_first_cum[stripe_id]
+    grp_mr_off = stripe_off[stripe_id] + grp_off_in_stripe
     mr_idx = grp_mr_off[grp_id] + mr_in_grp
 
-    m = int(grp_mrs.sum())
+    m = int(stripe_pad.sum())
     m_pad = -(-m // MR_BLOCK) * MR_BLOCK
 
     vals = np.zeros((m_pad, LANE), np.float32)
     vals[mr_idx, slot] = sval
     lo = np.zeros((m_pad, LANE), np.int32)
     lo[mr_idx, slot] = scol & (LANE - 1)
+
+    # padding micro-rows carry their stripe's rb (and cb 0, value 0) so the
+    # per-vreg rb-uniformity invariant holds everywhere
     rbcb = np.zeros(m_pad, np.int32)
+    stripe_rb = grp_rb[np.flatnonzero(new_stripe)].astype(np.int32)
+    for s_ in range(n_stripes):
+        rbcb[stripe_off[s_] : stripe_off[s_] + stripe_pad[s_]] = stripe_rb[s_] << 16
     rbcb[mr_idx] = (srb.astype(np.int32) << 16) | scb.astype(np.int32)
     if m_pad > m:
-        # padding micro-rows keep the last real window coordinates so the
-        # micro-row stream stays sorted by (rb, cb); their epos is all-zero
-        # so they contribute nothing
-        rbcb[m:] = rbcb[m - 1]
+        rbcb[m:] = rbcb[m - 1] & ~np.int32(0xFFFF)
 
     lrow = (srid & (LANE - 1)).astype(np.int64)
     cnt = np.bincount(mr_idx * LANE + lrow, minlength=m_pad * LANE)

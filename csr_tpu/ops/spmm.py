@@ -71,14 +71,19 @@ def _spmm_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, b_ref, out_ref):
         R = jnp.where((e_iota >= epp_b) & (e_iota < ep_b), 1.0, 0.0)
 
         b_win = b_ref[pl.ds(cb * LANE, LANE), :]
-        # gathered[e, :] = vals[e] * B[cb*128 + lo[e], :]  (MXU)
+        # gathered[e, :] = vals[e] * B[cb*128 + lo[e], :]  (MXU).  HIGHEST
+        # precision: the MXU multiplies in bf16 by default, which is not
+        # accurate enough for value data (S carries the values).
         gathered = jax.lax.dot_general(
             S, b_win, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        # c_win[r, :] = sum of gathered over entries of row r  (MXU)
+        # c_win[r, :] = sum of gathered over entries of row r  (MXU);
+        # R is 0/1 (bf16-exact) but gathered is value data
         c_win = jax.lax.dot_general(
             R, gathered, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         out_ref[pl.ds(rb * LANE, LANE), :] += c_win

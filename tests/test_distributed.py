@@ -119,3 +119,27 @@ def test_dist_spmm():
     C = dist.spmm(d, jnp.asarray(B), mesh)
     Cg = np.asarray(dist.collect_rows(d, C))
     np.testing.assert_allclose(Cg, m @ B, rtol=1e-4, atol=1e-3)
+
+
+@needs_devices
+def test_ring_spmv():
+    """Ring-scheduled SpMV: column shards rotate via ppermute, compute
+    overlaps communication (BASELINE config: halo overlap)."""
+    import scipy.sparse as sps
+
+    from csr_tpu.parallel import ring
+
+    rng = np.random.default_rng(11)
+    m = sps.random(160, 120, 0.1, format="csr", random_state=rng)
+    from csr_tpu import CSR
+
+    csr = CSR.from_scipy(m)
+    n = min(len(jax.devices()), 8)
+    mesh = make_mesh(n)
+    r = ring.partition_ring(csr, n).shard(mesh)
+    x = rng.standard_normal(120).astype(np.float32)
+    xp = np.zeros(r.cols_per_shard * n, np.float32)
+    xp[:120] = x
+    y = ring.spmv_ring(r, jnp.asarray(xp), mesh)
+    yg = np.asarray(dist.collect_rows(r, y))
+    np.testing.assert_allclose(yg, m @ x, rtol=1e-4, atol=1e-4)
