@@ -206,6 +206,20 @@ class CSR:
         assert len(cols) == nnz
         assert vals is None or len(vals) == nnz
 
+        traced = isinstance(rows, jax.core.Tracer) or isinstance(
+            cols, jax.core.Tracer
+        )
+        if traced:
+            # under jit the data is abstract: bounds cannot be validated on
+            # the host, and the shape cannot be inferred from the data
+            if shape is None:
+                raise ValueError(
+                    "CSR.from_coo requires an explicit shape= when traced"
+                )
+            nrows, ncols = shape
+            rps, cis, vs = structure.from_coo(nrows, rows, cols, vals)
+            return cls(nrows, ncols, nnz, rps, cis, vs)
+
         if nnz:
             rmin = int(jnp.min(jnp.asarray(rows))) if isinstance(rows, jax.Array) else int(np.min(rows))
             cmin = int(jnp.min(jnp.asarray(cols))) if isinstance(cols, jax.Array) else int(np.min(cols))
