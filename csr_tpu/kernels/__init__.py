@@ -36,6 +36,7 @@ TPU is present, else ``xla`` (reference: csr/kernels/__init__.py:100-117).
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import warnings
@@ -48,7 +49,29 @@ __all__ = [
     "set_kernel",
     "use_kernel",
     "get_kernel",
+    "trace",
 ]
+
+# Handle-lifecycle tracing (the role of the reference's compile-time
+# LK_TRACE stderr tracing for handle-leak debugging, reference:
+# csr/kernels/mkl/mkl_ops.c:57-58, tasks.py:49-51).  Enabled at runtime by
+# the CSR_TPU_TRACE environment variable; kernels call ``trace()`` on
+# handle creation/release and device-layout builds.
+_TRACE = bool(os.environ.get("CSR_TPU_TRACE"))
+_trace_log = logging.getLogger("csr_tpu.trace")
+if _TRACE and not _trace_log.handlers:  # pragma: no cover - env-dependent
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter("csr-tpu-trace: %(message)s"))
+    _trace_log.addHandler(_h)
+    _trace_log.setLevel(logging.INFO)
+
+
+def trace(event: str, **fields):
+    """Log a handle-lifecycle event when ``CSR_TPU_TRACE`` is set."""
+    if _TRACE:
+        _trace_log.info(
+            "%s %s", event, " ".join(f"{k}={v}" for k, v in fields.items())
+        )
 
 
 class ActiveKernel(threading.local):

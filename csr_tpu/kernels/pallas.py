@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from csr_tpu.kernels import xla as _xla
+from csr_tpu.kernels import trace, xla as _xla
 from csr_tpu.ops import microblock, spmm as _spmm_op, spmv as _spmv_op
 
 # Per-operation capacity.  The micro-block arrays cost 12 B/entry plus
@@ -53,6 +53,15 @@ class PallasHandle:
     def layout(self) -> microblock.MicroBlockLayout:
         if self._layout is None:
             self._layout = microblock.build_microblocks(self.csr)
+            lay = self._layout
+            trace(
+                "layout-build",
+                nnz=lay.nnz,
+                microrows=lay.n_microrows,
+                fill=round(lay.fill, 3),
+                bytes=lay.vals.nbytes + lay.lo.nbytes
+                + lay.epos.nbytes + lay.rbcb.nbytes,
+            )
         return self._layout
 
     @property
@@ -63,6 +72,7 @@ class PallasHandle:
 
 
 def to_handle(csr):
+    trace("to_handle", kernel="pallas", shape=(csr.nrows, csr.ncols), nnz=csr.nnz)
     return PallasHandle(csr)
 
 
@@ -74,6 +84,7 @@ def from_handle(h):
 
 
 def release_handle(h):
+    trace("release_handle", kernel="pallas", nnz=h.csr.nnz)
     h._layout = None
     h._xla_handle = None
 

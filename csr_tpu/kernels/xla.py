@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from csr_tpu import dtypes, structure
 from csr_tpu.dtypes import big_int
+from csr_tpu.kernels import trace
 
 max_nnz = np.iinfo("i8").max
 
@@ -49,6 +50,7 @@ class XlaHandle:
 def to_handle(csr):
     """Preprocess a CSR for compute: expand row ids
     (kernel contract, reference: docs/kernels.rst)."""
+    trace("to_handle", kernel="xla", shape=(csr.nrows, csr.ncols), nnz=csr.nnz)
     return XlaHandle(csr, structure.row_ids_for(csr))
 
 
@@ -62,7 +64,7 @@ def from_handle(h):
 
 def release_handle(h):
     """Release a handle.  JAX buffers are GC-managed; nothing to free."""
-    pass
+    trace("release_handle", kernel="xla", nnz=h.csr.nnz)
 
 
 def order_columns(h):

@@ -56,3 +56,25 @@ def test_kernel_module_contract():
             "mult_vec", "mult_ab", "mult_abt", "max_nnz",
         ):
             assert hasattr(k, sym), (name, sym)
+
+
+def test_trace_events(monkeypatch, caplog):
+    """CSR_TPU_TRACE-style handle tracing emits lifecycle events
+    (the analog of the reference's LK_TRACE handle-leak tracing,
+    reference: csr/kernels/mkl/mkl_ops.c:57-58)."""
+    import logging
+
+    import numpy as np
+
+    import csr_tpu.kernels as K
+    from csr_tpu import CSR
+
+    monkeypatch.setattr(K, "_TRACE", True)
+    c = CSR.from_coo(np.array([0, 1]), np.array([1, 0]),
+                     np.array([1.0, 2.0]), (2, 2))
+    with caplog.at_level(logging.INFO, logger="csr_tpu.trace"):
+        with K.use_kernel("xla"):
+            c.mult_vec(np.ones(2))
+    events = [r.message.split()[0] for r in caplog.records]
+    assert "to_handle" in events
+    assert "release_handle" in events
