@@ -78,3 +78,21 @@ def test_trace_events(monkeypatch, caplog):
     events = [r.message.split()[0] for r in caplog.records]
     assert "to_handle" in events
     assert "release_handle" in events
+
+
+def test_guard_transfers():
+    """Transfer guard catches implicit host->device conversions inside
+    compute (SURVEY §5 race/sanitizer analog)."""
+    import numpy as np
+    import pytest
+
+    import jax.numpy as jnp
+
+    from csr_tpu.utils.debug import guard_transfers
+
+    dev = jnp.arange(4.0)
+    two = jnp.asarray(2.0)
+    with guard_transfers("disallow"):
+        _ = dev * two  # pure device compute is fine
+        with pytest.raises(Exception):
+            _ = dev + np.arange(4.0)  # implicit host transfer must raise
