@@ -14,7 +14,7 @@ Methodology: K SpMV iterations chained inside one jitted ``fori_loop``
 ``block_until_ready`` timing is unreliable through remote-tunnel TPU
 runtimes, chained execution is not.  Bytes counted are the bytes the
 kernel actually streams from HBM per iteration: the micro-block arrays
-(12 B per padded slot) plus the dense operand and output.
+(6 B per padded slot) plus the dense operand and output.
 """
 
 import json
@@ -82,10 +82,10 @@ def main():
     from functools import partial
 
     @partial(jax.jit, static_argnames="k")
-    def chain(vals_a, lo, epos, rbcb, x0, k):
+    def chain(vals_a, meta, rbcb, x0, k):
         def body(i, xv):
             y = spmv_op._spmv_call(
-                vals_a, lo, epos, rbcb, xv, m_pad, rb_count, cb_count, on_cpu
+                vals_a, meta, rbcb, xv, m_pad, rb_count, cb_count, on_cpu
             )
             # feed output back (nrows == ncols) with a cheap normalization
             # so iterations are data-dependent and cannot be elided
@@ -94,19 +94,16 @@ def main():
         return jax.lax.fori_loop(0, k, body, x0)
 
     K = 30 if not on_cpu else 2
-    out = chain(layout.vals, layout.lo, layout.epos, layout.rbcb, x_pad, K)
+    out = chain(layout.vals, layout.meta, layout.rbcb, x_pad, K)
     float(jnp.sum(out))  # warmup + compile
     t0 = time.perf_counter()
-    out = chain(layout.vals, layout.lo, layout.epos, layout.rbcb, x_pad, K)
+    out = chain(layout.vals, layout.meta, layout.rbcb, x_pad, K)
     s = float(jnp.sum(out))  # host fetch forces completion
     dt = (time.perf_counter() - t0) / K
     assert np.isfinite(s)
 
     # bytes actually streamed per iteration
-    stream = (
-        layout.vals.nbytes + layout.lo.nbytes + layout.epos.nbytes
-        + layout.rbcb.nbytes
-    )
+    stream = layout.nbytes
     resident = x_pad.nbytes + rb_count * 128 * 4
     gbps = (stream + resident) / dt / 1e9
     peak = detect_peak_gbps() if not on_cpu else 100.0

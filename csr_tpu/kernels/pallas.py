@@ -26,10 +26,10 @@ import jax.numpy as jnp
 from csr_tpu.kernels import trace, xla as _xla
 from csr_tpu.ops import microblock, spmm as _spmm_op, spmv as _spmv_op
 
-# Per-operation capacity.  The micro-block arrays cost 12 B/entry plus
+# Per-operation capacity.  The micro-block arrays cost 6 B/slot plus
 # padding; cap handles at ~1/4 of a 16 GB HBM (the same role as the MKL
 # kernel's int32 max_nnz capacity contract, reference: csr/kernels/mkl/__init__.py:5).
-max_nnz = 256 * 1024 * 1024
+max_nnz = 512 * 1024 * 1024
 
 #: rows/cols ceiling for the VMEM-resident dense operand & output (per 128-window)
 _VMEM_WINDOWS = 16 * 1024
@@ -59,8 +59,7 @@ class PallasHandle:
                 nnz=lay.nnz,
                 microrows=lay.n_microrows,
                 fill=round(lay.fill, 3),
-                bytes=lay.vals.nbytes + lay.lo.nbytes
-                + lay.epos.nbytes + lay.rbcb.nbytes,
+                bytes=lay.nbytes,
             )
         return self._layout
 

@@ -39,10 +39,18 @@ kernel backend falls back to the XLA path when fill is poor (see
 Layout arrays (``M`` = number of micro-rows, padded to a block multiple):
 
 ``vals``  (M, 128) float32 — entry values (0 in padding slots)
-``lo``    (M, 128) int32   — entry column offsets within the window
-``epos``  (M, 128) int32   — ``epos[m, r]`` = #entries in micro-row m with
-                             local row <= r (row-boundary prefix counts)
+``meta``  (M, 128) uint16  — packed ``lo | epos << 7`` per slot:
+                             ``lo``   (7 bits) entry column offset within
+                                      the window;
+                             ``epos`` (8 bits) #entries in the micro-row
+                                      with local row <= lane (row-boundary
+                                      prefix counts)
 ``rbcb``  (M,)     int32   — packed ``rb << 16 | cb`` window coordinates
+
+The u16 packing matters: the kernels stream 6 B per slot instead of 12,
+which halves both the HBM traffic and the device-memory footprint of a
+handle (measured: ~5% faster SpMV; the kernel is compute-bound, see
+docs/perf.md).
 """
 
 from __future__ import annotations
@@ -68,8 +76,7 @@ class MicroBlockLayout:
     nnz: int
     n_microrows: int  # before padding
     vals: jax.Array  # (M, 128) f32
-    lo: jax.Array  # (M, 128) i32
-    epos: jax.Array  # (M, 128) i32
+    meta: jax.Array  # (M, 128) u16: lo | epos << 7
     rbcb: jax.Array  # (M,) i32
 
     @property
@@ -85,6 +92,17 @@ class MicroBlockLayout:
         """Fraction of micro-row slots holding real entries."""
         m = max(self.n_microrows, 1)
         return self.nnz / (m * LANE)
+
+    @property
+    def nbytes(self) -> int:
+        """Device bytes held by the layout."""
+        return self.vals.nbytes + self.meta.nbytes + self.rbcb.nbytes
+
+    def unpack_meta(self):
+        """Host-side (numpy) unpacked ``(lo, epos)`` int32 views, for tests
+        and debugging."""
+        m = np.asarray(self.meta).astype(np.int32)
+        return m & 127, m >> 7
 
 
 def build_microblocks(csr) -> MicroBlockLayout:
@@ -118,8 +136,7 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
         return MicroBlockLayout(
             nrows, ncols, 0, 0,
             jnp.zeros((m_pad, LANE), jnp.float32),
-            jnp.zeros((m_pad, LANE), jnp.int32),
-            jnp.zeros((m_pad, LANE), jnp.int32),
+            jnp.zeros((m_pad, LANE), jnp.uint16),
             jnp.zeros((m_pad,), jnp.int32),
         )
 
@@ -201,7 +218,8 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
     cnt = np.bincount(mr_idx * LANE + lrow, minlength=m_pad * LANE)
     epos = np.cumsum(cnt.reshape(m_pad, LANE), axis=1).astype(np.int32)
 
+    meta = (lo | (epos << 7)).astype(np.uint16)
     return MicroBlockLayout(
         nrows, ncols, nnz, m,
-        jnp.asarray(vals), jnp.asarray(lo), jnp.asarray(epos), jnp.asarray(rbcb),
+        jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
     )

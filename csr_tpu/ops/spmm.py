@@ -39,7 +39,7 @@ from .microblock import LANE, MR_BLOCK, MicroBlockLayout
 N_TILE = 128
 
 
-def _spmm_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, b_ref, out_ref):
+def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref):
     i = pl.program_id(1)  # micro-row block step (minor: B/out tiles stay put)
 
     @pl.when(i == 0)
@@ -55,8 +55,9 @@ def _spmm_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, b_ref, out_ref):
         cb = rbcb & 0xFFFF
         rb = rbcb >> 16
         vals = vals_ref[pl.ds(m, 1), :]  # (1, 128) entries along lanes
-        lo = lo_ref[pl.ds(m, 1), :]
-        epos = epos_ref[pl.ds(m, 1), :]
+        meta = meta_ref[pl.ds(m, 1), :].astype(jnp.int32)
+        lo = meta & 127
+        epos = meta >> 7
 
         # S[c, e]: scaled one-hot of each entry's window column
         lo_b = jnp.broadcast_to(lo, (LANE, LANE))
@@ -96,7 +97,7 @@ def _spmm_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, b_ref, out_ref):
     jax.jit, static_argnames=("m_pad", "rb_count", "k_pad", "n_pad", "interpret")
 )
 def _spmm_call(
-    vals, lo, epos, rbcb, b_pad,
+    vals, meta, rbcb, b_pad,
     m_pad: int, rb_count: int, k_pad: int, n_pad: int, interpret: bool,
 ):
     n_mr = m_pad // MR_BLOCK
@@ -106,7 +107,6 @@ def _spmm_call(
         grid=(n_n, n_mr),
         in_specs=[
             pl.BlockSpec((MR_BLOCK,), lambda j, i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
             pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
             pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
             pl.BlockSpec((k_pad, N_TILE), lambda j, i: (0, j)),
@@ -119,12 +119,12 @@ def _spmm_call(
         out_shape=jax.ShapeDtypeStruct((rb_count * LANE, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * LANE * LANE * n_pad,
-            bytes_accessed=n_n * m_pad * LANE * 12 + k_pad * n_pad * 4
+            bytes_accessed=n_n * m_pad * LANE * 6 + k_pad * n_pad * 4
             + rb_count * LANE * n_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rbcb, vals, lo, epos, b_pad)
+    )(rbcb, vals, meta, b_pad)
 
 
 def spmm(layout: MicroBlockLayout, b, *, interpret: bool = False):
@@ -139,7 +139,7 @@ def spmm(layout: MicroBlockLayout, b, *, interpret: bool = False):
     b_pad = jnp.zeros((k_pad, n_pad), jnp.float32)
     b_pad = b_pad.at[:k, :n].set(b.astype(jnp.float32))
     out = _spmm_call(
-        layout.vals, layout.lo, layout.epos, layout.rbcb, b_pad,
+        layout.vals, layout.meta, layout.rbcb, b_pad,
         layout.vals.shape[0], rb_count, k_pad, n_pad, interpret,
     )
     return out[: layout.nrows, :n]

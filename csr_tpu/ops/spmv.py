@@ -24,9 +24,11 @@ of which are full-block vector/matrix ops (no per-element work):
    128-row window is added into the output, which stays resident in VMEM
    for the whole kernel (constant output block).
 
-Measured on TPU v5e at 10.7M nnz (d=0.01): 3.0 ms/iter -> 3.5 Gnnz/s,
-~4.9x over the lane-shift formulation and ~60x over XLA's native
-gather+segment_sum SpMV (155 ms).
+Measured on TPU v5e at 10.7M nnz (d=0.01): 2.05 ms/iter -> 5.2 Gnnz/s,
+~75x over XLA's native gather+segment_sum SpMV (155 ms).  The kernel is
+compute-bound (full ablation in docs/perf.md): DMA overlaps completely,
+and the u16-packed metadata stream (6 B/slot with values) halves both
+HBM traffic and handle memory.
 
 Correctness replaces reference csr/kernels/numba/__init__.py:55-67 (flat
 nnz loop) and csr/kernels/mkl (mkl_sparse_d_mv).
@@ -46,7 +48,7 @@ from .microblock import LANE, MR_BLOCK, MicroBlockLayout
 _VREGS = MR_BLOCK // 8  # vector registers of micro-rows per grid step
 
 
-def _spmv_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, x_ref, out_ref, oper_ref):
+def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, oper_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -65,8 +67,13 @@ def _spmv_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, x_ref, out_ref, oper_ref)
 
     jax.lax.fori_loop(0, _VREGS, build, 0, unroll=False)
 
+    # unpack the u16 metadata stream (6 B/slot total with vals)
+    meta = meta_ref[:].astype(jnp.int32)
+    lo = meta & 127
+    epos = meta >> 7
+
     # stage 2: full-block gather + scale
-    g = jnp.take_along_axis(oper_ref[:], lo_ref[:], axis=1)
+    g = jnp.take_along_axis(oper_ref[:], lo, axis=1)
     p = vals_ref[:] * g
 
     # stage 3: MXU prefix sum + boundary gather
@@ -79,7 +86,6 @@ def _spmv_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, x_ref, out_ref, oper_ref)
         preferred_element_type=jnp.float32,
     )
 
-    epos = epos_ref[:]
     H = jnp.take_along_axis(c, jnp.maximum(epos - 1, 0), axis=1)
     H = jnp.where(epos > 0, H, 0.0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (MR_BLOCK, LANE), 1)
@@ -104,7 +110,7 @@ def _spmv_kernel(rbcb_ref, vals_ref, lo_ref, epos_ref, x_ref, out_ref, oper_ref)
     jax.jit, static_argnames=("m_pad", "rb_count", "cb_count", "interpret")
 )
 def _spmv_call(
-    vals, lo, epos, rbcb, x_pad, m_pad: int, rb_count: int, cb_count: int,
+    vals, meta, rbcb, x_pad, m_pad: int, rb_count: int, cb_count: int,
     interpret: bool,
 ):
     n_steps = m_pad // MR_BLOCK
@@ -113,7 +119,6 @@ def _spmv_call(
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((MR_BLOCK,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((MR_BLOCK, LANE), lambda i: (i, 0)),
             pl.BlockSpec((MR_BLOCK, LANE), lambda i: (i, 0)),
             pl.BlockSpec((MR_BLOCK, LANE), lambda i: (i, 0)),
             # x stays whole in VMEM across all steps
@@ -128,11 +133,11 @@ def _spmv_call(
         out_shape=jax.ShapeDtypeStruct((rb_count, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * LANE * LANE,
-            bytes_accessed=m_pad * LANE * 12 + cb_count * LANE * 4 + rb_count * LANE * 4,
+            bytes_accessed=m_pad * LANE * 6 + cb_count * LANE * 4 + rb_count * LANE * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rbcb, vals, lo, epos, x_pad)
+    )(rbcb, vals, meta, x_pad)
 
 
 def spmv(layout: MicroBlockLayout, x, *, interpret: bool = False):
@@ -144,7 +149,7 @@ def spmv(layout: MicroBlockLayout, x, *, interpret: bool = False):
     x_pad = x_pad.reshape(cb_count, LANE)
     m_pad = layout.vals.shape[0]
     y_mat = _spmv_call(
-        layout.vals, layout.lo, layout.epos, layout.rbcb, x_pad,
+        layout.vals, layout.meta, layout.rbcb, x_pad,
         m_pad, rb_count, cb_count, interpret,
     )
     return y_mat.reshape(-1)[: layout.nrows]

@@ -18,11 +18,11 @@ from util import to_dense
 def test_microblock_invariants(csr):
     mb = build_microblocks(csr)
     vals = np.asarray(mb.vals)
-    lo = np.asarray(mb.lo)
-    epos = np.asarray(mb.epos)
+    lo, epos = mb.unpack_meta()
     rbcb = np.asarray(mb.rbcb)
 
     assert vals.shape == lo.shape == epos.shape
+    assert np.asarray(mb.meta).dtype == np.uint16
     assert vals.shape[1] == LANE
     assert mb.n_microrows <= vals.shape[0]
 
