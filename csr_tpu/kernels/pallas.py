@@ -40,14 +40,16 @@ def _interpret_mode() -> bool:
 
 
 class PallasHandle:
-    """Device handle: the CSR plus its (lazily built) micro-block layout."""
+    """Device handle: the CSR plus its (lazily built) device forms —
+    micro-block layout for SpMV, dense form for MXU SpMM/SpGEMM."""
 
-    __slots__ = ("csr", "_layout", "_xla_handle")
+    __slots__ = ("csr", "_layout", "_xla_handle", "_dense")
 
     def __init__(self, csr):
         self.csr = csr
         self._layout = None
         self._xla_handle = None
+        self._dense = None
 
     @property
     def layout(self) -> microblock.MicroBlockLayout:
@@ -69,6 +71,19 @@ class PallasHandle:
             self._xla_handle = _xla.to_handle(self.csr)
         return self._xla_handle
 
+    @property
+    def dense(self):
+        """f32 densified matrix, cached on the handle (MKL-style: the
+        handle owns the preprocessed device form)."""
+        if self._dense is None:
+            c = self.csr
+            bx = self.xla_handle
+            self._dense = _xla._densify(
+                c._required_values(), c.colinds, bx.row_ids,
+                c.nrows, c.ncols, jnp.float32,
+            )
+        return self._dense
+
 
 def to_handle(csr):
     trace("to_handle", kernel="pallas", shape=(csr.nrows, csr.ncols), nnz=csr.nnz)
@@ -86,6 +101,7 @@ def release_handle(h):
     trace("release_handle", kernel="pallas", nnz=h.csr.nnz)
     h._layout = None
     h._xla_handle = None
+    h._dense = None
 
 
 def order_columns(h):
@@ -119,28 +135,62 @@ def mult_vec(h, v):
 
 
 def _spmm_viable(csr, n_out_rows: int) -> bool:
-    """Can the micro-block SpMM hold its B panel and output in VMEM?"""
+    """Can the micro-block SpMM hold its working set in VMEM?
+
+    The kernel keeps the B column-panel and the output column-panel
+    resident, and the pipeline double-buffers every streamed block, so the
+    true footprint is ~2x the panel bytes plus the micro-row blocks and
+    the i32 unpack scratch (measured OOM at 18 MB vs the 16 MB scoped
+    limit for 8192^2 @ 128-wide panels)."""
     if csr.nnz == 0:
         return False
     cb = -(-csr.ncols // microblock.LANE)
     rb = -(-n_out_rows // microblock.LANE)
-    # B panel (k_pad x 128) + output (rows_pad x 128) in f32, < ~10 MB
-    return (cb + rb) * microblock.LANE * microblock.LANE * 4 < 10 * 2**20
+    lane2 = microblock.LANE * microblock.LANE
+    panels = 2 * (cb + rb) * lane2 * 4  # double-buffered B + out panels
+    blocks = 2 * microblock.MR_BLOCK * microblock.LANE * 6  # vals + meta
+    scratch = microblock.MR_BLOCK * microblock.LANE * 4  # i32 unpack
+    return panels + blocks + scratch < 14 * 2**20
+
+
+# Densify-and-matmul threshold.  Measured on v5e (docs/perf.md): the
+# micro-block SpMM and XLA scatter paths both run ~10 Gnnz-col/s, while a
+# dense f32 HIGHEST matmul runs ~8 T MAC/s — dense wins above density
+# ~0.002 whenever the densified matrix fits a memory budget.
+_DENSIFY_MAX_ELEMS = 2**27  # 512 MB f32
+_DENSIFY_MIN_DENSITY = 2e-3
+
+
+def _dense_affordable(csr) -> bool:
+    elems = csr.nrows * csr.ncols
+    if elems == 0 or elems > _DENSIFY_MAX_ELEMS:
+        return False
+    return csr.nnz / elems >= _DENSIFY_MIN_DENSITY
 
 
 def mult_dense(h, B):
-    """SpMM ``A @ B`` with dense B via the MXU micro-block kernel."""
+    """SpMM ``A @ B`` with dense B: densified MXU matmul at practical
+    densities, micro-block kernel for big sparse matrices, XLA fallback."""
     B = jnp.asarray(B)
-    if jnp.dtype(B.dtype) == jnp.float64 or not _spmm_viable(h.csr, h.csr.nrows):
+    if jnp.dtype(B.dtype) == jnp.float64:
+        return _xla.mult_dense(h.xla_handle, B)
+    out_dtype = _xla._result_dtype(h.csr._required_values().dtype, B.dtype)
+    if _dense_affordable(h.csr):
+        out = jax.numpy.dot(
+            h.dense, B.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.astype(out_dtype)
+    if not _spmm_viable(h.csr, h.csr.nrows):
         return _xla.mult_dense(h.xla_handle, B)
     out = _spmm_op.spmm(h.layout, B, interpret=_interpret_mode())
-    out_dtype = _xla._result_dtype(h.csr._required_values().dtype, B.dtype)
     return out.astype(out_dtype)
 
 
 def _spgemm(a_h, b_h, transpose: bool):
-    """SpGEMM by output densification: densify B (or B^T), run the MXU
-    SpMM, compact the dense product back to CSR.  On TPU this replaces
+    """SpGEMM by densification: densify B (or B^T); contract with A on
+    the MXU (dense x dense when A densifies affordably, micro-block SpMM
+    otherwise); compact the product back to CSR.  On TPU this replaces
     SMMP-style symbolic/numeric passes (reference:
     csr/kernels/numba/multiply.py:60-129): at SpGEMM-practical densities
     the MXU's dense throughput beats any gather/scatter formulation."""
@@ -154,7 +204,11 @@ def _spgemm(a_h, b_h, transpose: bool):
     if transpose:
         b_dense = b_dense.T
     n_out_cols = b_dense.shape[1]
-    if out_dtype == jnp.float64 or not _spmm_viable(a, a.nrows):
+    if out_dtype != jnp.float64 and _dense_affordable(a):
+        c_dense = jax.numpy.dot(
+            a_h.dense, b_dense, precision=jax.lax.Precision.HIGHEST
+        ).astype(out_dtype)
+    elif out_dtype == jnp.float64 or not _spmm_viable(a, a.nrows):
         c_dense = _xla._spgemm_dense(
             a._required_values(), a.colinds, a_h.xla_handle.row_ids,
             b_dense, a.nrows, n_out_cols, out_dtype,

@@ -39,12 +39,17 @@ from .microblock import LANE, MR_BLOCK, MicroBlockLayout
 N_TILE = 128
 
 
-def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref):
+def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref):
     i = pl.program_id(1)  # micro-row block step (minor: B/out tiles stay put)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+
+    # Unpack the u16 metadata block to i32 scratch once per step: 16-bit
+    # tiles cannot be dynamically sliced per micro-row on TPU (sublane
+    # alignment is unprovable), i32 rows can.
+    meta32_ref[:] = meta_ref[:].astype(jnp.int32)
 
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
@@ -55,7 +60,7 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref):
         cb = rbcb & 0xFFFF
         rb = rbcb >> 16
         vals = vals_ref[pl.ds(m, 1), :]  # (1, 128) entries along lanes
-        meta = meta_ref[pl.ds(m, 1), :].astype(jnp.int32)
+        meta = meta32_ref[pl.ds(m, 1), :]
         lo = meta & 127
         epos = meta >> 7
 
@@ -112,6 +117,7 @@ def _spmm_call(
             pl.BlockSpec((k_pad, N_TILE), lambda j, i: (0, j)),
         ],
         out_specs=pl.BlockSpec((rb_count * LANE, N_TILE), lambda j, i: (0, j)),
+        scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.int32)],
     )
     return pl.pallas_call(
         _spmm_kernel,
