@@ -142,3 +142,45 @@ def sort_rows(nrows, rowptrs, colinds, values=None):
     else:
         return False
     return True
+
+
+def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int):
+    """Native micro-block layout build (see csr_host.cpp csrt_mb_*).
+
+    Returns ``(vals, meta, rbcb, m)`` numpy arrays with ``m_pad`` rows
+    rounded up to ``m_round``, or ``None`` when the native library is
+    unavailable or the matrix exceeds the packing range."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csrt_mb_plan"):
+        return None
+    rowptrs = np.ascontiguousarray(rowptrs, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    nnz = len(cols)
+    i64, i64p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.csrt_mb_plan.restype = i64
+    lib.csrt_mb_plan.argtypes = [i64, i64, i64, i64p, i32p]
+    lib.csrt_mb_fill.restype = i64
+    lib.csrt_mb_fill.argtypes = [i64, i64, i64, i64p, i32p, f32p, i64,
+                                 f32p, u16p, i32p]
+    m = lib.csrt_mb_plan(nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols))
+    if m < 0:
+        return None
+    m_pad = -(-max(int(m), 1) // m_round) * m_round
+    vals = np.zeros((m_pad, 128), np.float32)
+    meta = np.zeros((m_pad, 128), np.uint16)
+    rbcb = np.zeros(m_pad, np.int32)
+    if values is not None:
+        values = np.ascontiguousarray(values, np.float32)
+        vp = _fp(values)
+    else:
+        vp = None
+    m2 = lib.csrt_mb_fill(
+        nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), vp, m_pad,
+        _fp(vals), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _i32p(rbcb),
+    )
+    assert m2 == m, (m2, m)
+    return vals, meta, rbcb, int(m)

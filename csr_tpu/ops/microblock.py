@@ -124,13 +124,25 @@ def build_microblocks(csr) -> MicroBlockLayout:
 def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
     """Pack host CSR arrays into micro-block layout.
 
-    Runs on the HOST (numpy): the packing is a static one-time
-    preprocessing step (the analog of MKL handle creation, reference:
+    Runs on the HOST: the packing is a static one-time preprocessing step
+    (the analog of MKL handle creation, reference:
     csr/kernels/mkl/handle.py:61-70), and its scatters/sorts are
     host-shaped work — the exact access patterns the device kernel exists
-    to avoid.  Only the final padded arrays ship to HBM.
+    to avoid.  Only the final padded arrays ship to HBM.  The native C++
+    path (csr_tpu/native, O(n) counting sorts) is ~10x the numpy path and
+    is used whenever the library is available.
     """
     nnz = int(len(cols))
+    if nnz:
+        from csr_tpu import native
+
+        built = native.build_microblocks(nrows, ncols, rp, cols, vals_in, MR_BLOCK)
+        if built is not None:
+            vals, meta, rbcb, m = built
+            return MicroBlockLayout(
+                nrows, ncols, nnz, m,
+                jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
+            )
     if nnz == 0:
         m_pad = MR_BLOCK
         return MicroBlockLayout(

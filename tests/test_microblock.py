@@ -67,3 +67,38 @@ def test_microblock_fill(csr):
     mb = build_microblocks(csr)
     if csr.nnz:
         assert 0 < mb.fill <= 1.0
+
+
+@given(csrs(values=True))
+def test_native_build_matches_numpy(csr):
+    """The C++ layout builder is bit-exact with the numpy reference
+    (the native module's role, reference: csr/kernels/mkl/mkl_ops.c)."""
+    import pytest
+
+    from csr_tpu import native
+    from csr_tpu.ops.microblock import MR_BLOCK
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    if csr.nnz == 0:
+        return
+    rp = np.asarray(csr.rowptrs)
+    cols = np.asarray(csr.colinds)
+    vals = None if csr.values is None else np.asarray(csr.values)
+    nat = native.build_microblocks(csr.nrows, csr.ncols, rp, cols, vals, MR_BLOCK)
+    assert nat is not None
+
+    saved = native.build_microblocks
+    native.build_microblocks = lambda *a, **k: None
+    try:
+        from csr_tpu.ops.microblock import build_microblocks_host
+
+        ref = build_microblocks_host(csr.nrows, csr.ncols, rp, cols, vals)
+    finally:
+        native.build_microblocks = saved
+
+    v, meta, rbcb, m = nat
+    assert m == ref.n_microrows
+    np.testing.assert_array_equal(meta, np.asarray(ref.meta))
+    np.testing.assert_array_equal(rbcb, np.asarray(ref.rbcb))
+    np.testing.assert_array_equal(v, np.asarray(ref.vals))
