@@ -144,7 +144,36 @@ def sort_rows(nrows, rowptrs, colinds, values=None):
     return True
 
 
-def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int):
+def _mb_bind(lib):
+    i64, i64p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.csrt_mb_plan.restype = i64
+    lib.csrt_mb_plan.argtypes = [i64, i64, i64, i64p, i32p, i64]
+    lib.csrt_mb_fill.restype = i64
+    lib.csrt_mb_fill.argtypes = [i64, i64, i64, i64p, i32p, f32p, i64, i64,
+                                 f32p, u16p, i32p]
+
+
+def plan_microrows(nrows, ncols, rowptrs, cols, window: int):
+    """Native micro-row count for a given window width (for the window
+    chooser), or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csrt_mb_plan"):
+        return None
+    _mb_bind(lib)
+    rowptrs = np.ascontiguousarray(rowptrs, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    m = lib.csrt_mb_plan(
+        len(cols), nrows, ncols, _i64p(rowptrs), _i32p(cols),
+        int(window).bit_length() - 1,
+    )
+    return None if m < 0 else int(m)
+
+
+def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int,
+                      window: int = 128):
     """Native micro-block layout build (see csr_host.cpp csrt_mb_*).
 
     Returns ``(vals, meta, rbcb, m)`` numpy arrays with ``m_pad`` rows
@@ -153,19 +182,12 @@ def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int):
     lib = get_lib()
     if lib is None or not hasattr(lib, "csrt_mb_plan"):
         return None
+    _mb_bind(lib)
     rowptrs = np.ascontiguousarray(rowptrs, np.int64)
     cols = np.ascontiguousarray(cols, np.int32)
     nnz = len(cols)
-    i64, i64p = ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)
-    i32p = ctypes.POINTER(ctypes.c_int32)
-    f32p = ctypes.POINTER(ctypes.c_float)
-    u16p = ctypes.POINTER(ctypes.c_uint16)
-    lib.csrt_mb_plan.restype = i64
-    lib.csrt_mb_plan.argtypes = [i64, i64, i64, i64p, i32p]
-    lib.csrt_mb_fill.restype = i64
-    lib.csrt_mb_fill.argtypes = [i64, i64, i64, i64p, i32p, f32p, i64,
-                                 f32p, u16p, i32p]
-    m = lib.csrt_mb_plan(nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols))
+    cshift = int(window).bit_length() - 1
+    m = lib.csrt_mb_plan(nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), cshift)
     if m < 0:
         return None
     m_pad = -(-max(int(m), 1) // m_round) * m_round
@@ -178,7 +200,7 @@ def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int):
     else:
         vp = None
     m2 = lib.csrt_mb_fill(
-        nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), vp, m_pad,
+        nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), vp, cshift, m_pad,
         _fp(vals), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         _i32p(rbcb),
     )

@@ -209,6 +209,11 @@ extern "C" void csrt_row_ids(int64_t nrows, const int64_t* rowptrs, int32_t* out
 // (run of one rb) padded to a multiple of 8 micro-rows so every vector
 // register of micro-rows has a uniform row window.
 //
+// The column window width is parameterized (cshift = 7 for 128-wide
+// windows, 8 for the 256-wide double-window layout; see
+// csr_tpu/ops/microblock.py docstring).  meta packs lo | epos << 7 for
+// 128-wide and lo | epos << 8 for 256-wide.
+//
 // Two-call protocol (output size is data-dependent):
 //   csrt_mb_plan(...)  -> m  (micro-rows incl. stripe padding), or -1 when
 //                         the matrix exceeds the rb/cb packing range
@@ -227,9 +232,10 @@ struct MbSorted {
 // tiebreak.
 static bool mb_sort(int64_t nnz, int64_t nrows, int64_t ncols,
                     const int64_t* rowptrs, const int32_t* cols,
-                    const float* vals, MbSorted& out) {
+                    const float* vals, int64_t cshift, MbSorted& out) {
+  int64_t window = int64_t(1) << cshift;
   int64_t rb_count = (nrows + 127) >> 7;
-  int64_t cb_count = (ncols + 127) >> 7;
+  int64_t cb_count = (ncols + window - 1) >> cshift;
   if (rb_count > 32767 || cb_count > 65535) return false;  // rbcb i32 packing
 
   std::vector<int32_t> rid(nnz);
@@ -240,10 +246,10 @@ static bool mb_sort(int64_t nnz, int64_t nrows, int64_t ncols,
   std::vector<int64_t> cnt(std::max(rb_count, cb_count) + 1, 0);
   std::vector<int32_t> rid1(nnz), col1(nnz);
   std::vector<float> val1(nnz);
-  for (int64_t i = 0; i < nnz; ++i) cnt[(cols[i] >> 7) + 1]++;
+  for (int64_t i = 0; i < nnz; ++i) cnt[(cols[i] >> cshift) + 1]++;
   for (int64_t b = 0; b < cb_count; ++b) cnt[b + 1] += cnt[b];
   for (int64_t i = 0; i < nnz; ++i) {
-    int64_t p = cnt[cols[i] >> 7]++;
+    int64_t p = cnt[cols[i] >> cshift]++;
     rid1[p] = rid[i];
     col1[p] = cols[i];
     val1[p] = vals ? vals[i] : 1.0f;
@@ -268,18 +274,19 @@ static bool mb_sort(int64_t nnz, int64_t nrows, int64_t ncols,
 // Walk (rb, cb) groups in sorted order.  Calls group_fn(start, size, rb)
 // for each group and returns total micro-rows incl. per-stripe padding.
 template <typename F>
-static int64_t mb_walk(int64_t nnz, const MbSorted& s, F&& group_fn) {
+static int64_t mb_walk(int64_t nnz, const MbSorted& s, int64_t cshift,
+                       F&& group_fn) {
   int64_t m = 0;
   int64_t i = 0;
   int32_t cur_rb = -1;
   while (i < nnz) {
-    int32_t rb = s.rid[i] >> 7, cb = s.col[i] >> 7;
+    int32_t rb = s.rid[i] >> 7, cb = s.col[i] >> cshift;
     if (rb != cur_rb) {
       m = (m + 7) & ~int64_t(7);  // close previous stripe: pad to 8
       cur_rb = rb;
     }
     int64_t j = i;
-    while (j < nnz && (s.rid[j] >> 7) == rb && (s.col[j] >> 7) == cb) ++j;
+    while (j < nnz && (s.rid[j] >> 7) == rb && (s.col[j] >> cshift) == cb) ++j;
     group_fn(i, j - i, m);
     m += (j - i + 127) >> 7;
     i = j;
@@ -290,23 +297,27 @@ static int64_t mb_walk(int64_t nnz, const MbSorted& s, F&& group_fn) {
 }  // namespace
 
 extern "C" int64_t csrt_mb_plan(int64_t nnz, int64_t nrows, int64_t ncols,
-                                const int64_t* rowptrs, const int32_t* cols) {
+                                const int64_t* rowptrs, const int32_t* cols,
+                                int64_t cshift) {
   MbSorted s;
-  if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, nullptr, s)) return -1;
-  return mb_walk(nnz, s, [](int64_t, int64_t, int64_t) {});
+  if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, nullptr, cshift, s)) return -1;
+  return mb_walk(nnz, s, cshift, [](int64_t, int64_t, int64_t) {});
 }
 
 extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
                                 const int64_t* rowptrs, const int32_t* cols,
-                                const float* vals, int64_t m_pad,
-                                float* out_vals, uint16_t* out_meta,
-                                int32_t* out_rbcb) {
+                                const float* vals, int64_t cshift,
+                                int64_t m_pad, float* out_vals,
+                                uint16_t* out_meta, int32_t* out_rbcb) {
   MbSorted s;
-  if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, vals, s)) return -1;
+  if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, vals, cshift, s)) return -1;
+  const int32_t lo_mask = (int32_t(1) << cshift) - 1;
+  const int e_shift = (cshift == 7) ? 7 : 8;
 
   // caller supplies zeroed arrays of m_pad micro-rows
-  int64_t m = mb_walk(nnz, s, [&](int64_t start, int64_t size, int64_t mr0) {
-    int32_t rb = s.rid[start] >> 7, cb = s.col[start] >> 7;
+  int64_t m = mb_walk(nnz, s, cshift,
+                      [&](int64_t start, int64_t size, int64_t mr0) {
+    int32_t rb = s.rid[start] >> 7, cb = s.col[start] >> cshift;
     int64_t mrs = (size + 127) >> 7;
     for (int64_t k = 0; k < mrs; ++k) {
       int64_t mr = mr0 + k;
@@ -316,13 +327,13 @@ extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
       const int64_t base = start + k * 128;
       for (int64_t t = 0; t < lim; ++t) {
         out_vals[mr * 128 + t] = s.val[base + t];
-        out_meta[mr * 128 + t] = (uint16_t)(s.col[base + t] & 127);
+        out_meta[mr * 128 + t] = (uint16_t)(s.col[base + t] & lo_mask);
         cnt[s.rid[base + t] & 127]++;
       }
       int32_t run = 0;
       for (int64_t r = 0; r < 128; ++r) {
         run += cnt[r];
-        out_meta[mr * 128 + r] |= (uint16_t)(run << 7);
+        out_meta[mr * 128 + r] |= (uint16_t)(run << e_shift);
       }
     }
   });
@@ -331,7 +342,7 @@ extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
   // walk again to stamp rbcb on the gaps, then extend the final rb to m_pad
   int64_t cursor = 0;
   int32_t last_rb = 0;
-  mb_walk(nnz, s, [&](int64_t start, int64_t size, int64_t mr0) {
+  mb_walk(nnz, s, cshift, [&](int64_t start, int64_t size, int64_t mr0) {
     int32_t rb = s.rid[start] >> 7;
     for (; cursor < mr0; ++cursor) out_rbcb[cursor] = last_rb << 16;
     cursor = mr0 + ((size + 127) >> 7);

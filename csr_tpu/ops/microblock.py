@@ -36,16 +36,28 @@ density >= ~0.006 packs densely while very sparse matrices pad.  The
 kernel backend falls back to the XLA path when fill is poor (see
 :mod:`csr_tpu.kernels.pallas`).
 
+**Double-width windows.** At moderate densities the 128-column window is
+the fill bottleneck (d=0.01 on 32k^2: fill 0.64).  The layout therefore
+supports a 256-column window variant (``window=256``): each micro-row
+lies in an aligned 256-column window, the kernel assembles two operand
+vregs per micro-row and picks between two ``dynamic_gather`` results with
+one select.  Measured fill at d=0.01 rises to 0.85 (25% fewer micro-rows)
+for ~3 extra full-block ops per step.  ``build_microblocks`` estimates
+the micro-row count for both widths and picks the cheaper layout under a
+measured cost model.
+
 Layout arrays (``M`` = number of micro-rows, padded to a block multiple):
 
 ``vals``  (M, 128) float32 — entry values (0 in padding slots)
-``meta``  (M, 128) uint16  — packed ``lo | epos << 7`` per slot:
-                             ``lo``   (7 bits) entry column offset within
-                                      the window;
+``meta``  (M, 128) uint16  — packed ``lo | epos << s`` per slot
+                             (``s`` = 7 for 128-wide, 8 for 256-wide):
+                             ``lo``   (7/8 bits) entry column offset
+                                      within the window;
                              ``epos`` (8 bits) #entries in the micro-row
                                       with local row <= lane (row-boundary
                                       prefix counts)
 ``rbcb``  (M,)     int32   — packed ``rb << 16 | cb`` window coordinates
+                             (``cb`` in units of ``window`` columns)
 
 The u16 packing matters: the kernels stream 6 B per slot instead of 12,
 which halves both the HBM traffic and the device-memory footprint of a
@@ -76,8 +88,9 @@ class MicroBlockLayout:
     nnz: int
     n_microrows: int  # before padding
     vals: jax.Array  # (M, 128) f32
-    meta: jax.Array  # (M, 128) u16: lo | epos << 7
+    meta: jax.Array  # (M, 128) u16: lo | epos << (7|8)
     rbcb: jax.Array  # (M,) i32
+    window: int = LANE  # columns per micro-row window (128 or 256)
 
     @property
     def rb_count(self) -> int:
@@ -85,7 +98,10 @@ class MicroBlockLayout:
 
     @property
     def cb_count(self) -> int:
-        return -(-self.ncols // LANE)
+        """Dense-operand vregs: 128-lane blocks covering ncols, padded to a
+        whole number of windows."""
+        wb = self.window // LANE
+        return wb * -(-self.ncols // self.window)
 
     @property
     def fill(self) -> float:
@@ -98,14 +114,59 @@ class MicroBlockLayout:
         """Device bytes held by the layout."""
         return self.vals.nbytes + self.meta.nbytes + self.rbcb.nbytes
 
+    @property
+    def epos_shift(self) -> int:
+        return 7 if self.window == LANE else 8
+
     def unpack_meta(self):
         """Host-side (numpy) unpacked ``(lo, epos)`` int32 views, for tests
         and debugging."""
         m = np.asarray(self.meta).astype(np.int32)
-        return m & 127, m >> 7
+        s = self.epos_shift
+        return m & ((1 << s) - 1), m >> s
 
 
-def build_microblocks(csr) -> MicroBlockLayout:
+def estimate_microrows(rp, cols, window: int) -> int:
+    """Stripe-padded micro-row count a build at ``window`` columns would
+    produce (host, one sort — cheap relative to the build itself)."""
+    nnz = int(len(cols))
+    if nnz == 0:
+        return 0
+    rp = np.asarray(rp)
+    nrows = len(rp) - 1
+    from csr_tpu import native
+
+    m = native.plan_microrows(nrows, int(np.max(cols)) + 1, rp, cols, window)
+    if m is not None:
+        return m
+    rids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(rp))
+    shift = int(window).bit_length() - 1
+    key = (rids >> 7) << 32 | (np.asarray(cols).astype(np.int64) >> shift)
+    uk, counts = np.unique(key, return_counts=True)
+    grp_mrs = -(-counts // LANE)
+    urb = uk >> 32
+    new_stripe = np.empty(len(uk), bool)
+    new_stripe[0] = True
+    new_stripe[1:] = urb[1:] != urb[:-1]
+    stripe_id = np.cumsum(new_stripe) - 1
+    stripe_mrs = np.bincount(stripe_id, weights=grp_mrs).astype(np.int64)
+    return int((-(-stripe_mrs // 8) * 8).sum())
+
+
+def choose_window(rp, cols) -> int:
+    """Pick the micro-row window width by cost model.
+
+    The 256-wide SpMV kernel measures ~1.28x the per-step cost of the
+    128-wide one (8 extra operand slices per vreg, second gather, select;
+    v5e, 10.7M nnz), so it wins when it removes >22% of the micro-rows."""
+    m128 = estimate_microrows(rp, cols, 128)
+    if m128 == 0:
+        return 128
+    m256 = estimate_microrows(rp, cols, 256)
+    return 256 if m256 <= 0.78 * m128 else 128
+
+
+def build_microblocks(csr, window: int | None = None) -> MicroBlockLayout:
     """Convert a CSR matrix into micro-block layout (device round-trip).
 
     For data that is already on the host, use
@@ -118,10 +179,12 @@ def build_microblocks(csr) -> MicroBlockLayout:
         rp = np.asarray(csr.rowptrs)
         cis = np.asarray(csr.colinds)
         vals = None if csr.values is None else np.asarray(csr.values)
-    return build_microblocks_host(csr.nrows, csr.ncols, rp, cis, vals)
+    return build_microblocks_host(csr.nrows, csr.ncols, rp, cis, vals, window=window)
 
 
-def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
+def build_microblocks_host(
+    nrows, ncols, rp, cols, vals_in, *, window: int | None = None
+) -> MicroBlockLayout:
     """Pack host CSR arrays into micro-block layout.
 
     Runs on the HOST: the packing is a static one-time preprocessing step
@@ -131,17 +194,28 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
     to avoid.  Only the final padded arrays ship to HBM.  The native C++
     path (csr_tpu/native, O(n) counting sorts) is ~10x the numpy path and
     is used whenever the library is available.
+
+    ``window`` forces a window width (128/256); default picks by cost
+    model (:func:`choose_window`).
     """
     nnz = int(len(cols))
+    if nnz and window is None:
+        window = choose_window(rp, cols)
+    elif window is None:
+        window = LANE
+    assert window in (128, 256), window
     if nnz:
         from csr_tpu import native
 
-        built = native.build_microblocks(nrows, ncols, rp, cols, vals_in, MR_BLOCK)
+        built = native.build_microblocks(
+            nrows, ncols, rp, cols, vals_in, MR_BLOCK, window
+        )
         if built is not None:
             vals, meta, rbcb, m = built
             return MicroBlockLayout(
                 nrows, ncols, nnz, m,
                 jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
+                window,
             )
     if nnz == 0:
         m_pad = MR_BLOCK
@@ -150,6 +224,7 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
             jnp.zeros((m_pad, LANE), jnp.float32),
             jnp.zeros((m_pad, LANE), jnp.uint16),
             jnp.zeros((m_pad,), jnp.int32),
+            window,
         )
 
     cols = np.asarray(cols).astype(np.int32, copy=False)
@@ -158,10 +233,11 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
     else:
         vals_in = np.asarray(vals_in).astype(np.float32, copy=False)
 
+    shift = window.bit_length() - 1
     rp = np.asarray(rp)
     rids = np.repeat(np.arange(nrows, dtype=np.int32), np.diff(rp))
     rb = rids >> 7
-    cb = cols >> 7
+    cb = cols >> shift
 
     # lexicographic (rb, cb, row): np.lexsort sorts by the LAST key primary
     perm = np.lexsort((rids, cb, rb))
@@ -214,7 +290,7 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
     vals = np.zeros((m_pad, LANE), np.float32)
     vals[mr_idx, slot] = sval
     lo = np.zeros((m_pad, LANE), np.int32)
-    lo[mr_idx, slot] = scol & (LANE - 1)
+    lo[mr_idx, slot] = scol & (window - 1)
 
     # padding micro-rows carry their stripe's rb (and cb 0, value 0) so the
     # per-vreg rb-uniformity invariant holds everywhere
@@ -230,8 +306,10 @@ def build_microblocks_host(nrows, ncols, rp, cols, vals_in) -> MicroBlockLayout:
     cnt = np.bincount(mr_idx * LANE + lrow, minlength=m_pad * LANE)
     epos = np.cumsum(cnt.reshape(m_pad, LANE), axis=1).astype(np.int32)
 
-    meta = (lo | (epos << 7)).astype(np.uint16)
+    epos_shift = 7 if window == LANE else 8
+    meta = (lo | (epos << epos_shift)).astype(np.uint16)
     return MicroBlockLayout(
         nrows, ncols, nnz, m,
         jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
+        window,
     )

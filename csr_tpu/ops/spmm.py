@@ -39,8 +39,9 @@ from .microblock import LANE, MR_BLOCK, MicroBlockLayout
 N_TILE = 128
 
 
-def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref):
+def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb):
     i = pl.program_id(1)  # micro-row block step (minor: B/out tiles stay put)
+    win = wb * LANE  # columns per micro-row window (128 or 256)
 
     @pl.when(i == 0)
     def _():
@@ -51,9 +52,10 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref):
     # alignment is unprovable), i32 rows can.
     meta32_ref[:] = meta_ref[:].astype(jnp.int32)
 
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (win, LANE), 0)
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    lo_mask, e_shift = (127, 7) if wb == 1 else (255, 8)
 
     def body(m, _):
         rbcb = rbcb_ref[m]
@@ -61,12 +63,12 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref):
         rb = rbcb >> 16
         vals = vals_ref[pl.ds(m, 1), :]  # (1, 128) entries along lanes
         meta = meta32_ref[pl.ds(m, 1), :]
-        lo = meta & 127
-        epos = meta >> 7
+        lo = meta & lo_mask
+        epos = meta >> e_shift
 
         # S[c, e]: scaled one-hot of each entry's window column
-        lo_b = jnp.broadcast_to(lo, (LANE, LANE))
-        vals_b = jnp.broadcast_to(vals, (LANE, LANE))
+        lo_b = jnp.broadcast_to(lo, (win, LANE))
+        vals_b = jnp.broadcast_to(vals, (win, LANE))
         S = jnp.where(c_iota == lo_b, vals_b, 0.0)
 
         # R[e, r]: row membership from boundary prefix counts
@@ -76,7 +78,7 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref):
         epp_b = jnp.broadcast_to(eposprev, (LANE, LANE))
         R = jnp.where((e_iota >= epp_b) & (e_iota < ep_b), 1.0, 0.0)
 
-        b_win = b_ref[pl.ds(cb * LANE, LANE), :]
+        b_win = b_ref[pl.ds(cb * win, win), :]
         # gathered[e, :] = vals[e] * B[cb*128 + lo[e], :]  (MXU).  HIGHEST
         # precision: the MXU multiplies in bf16 by default, which is not
         # accurate enough for value data (S carries the values).
@@ -99,11 +101,13 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m_pad", "rb_count", "k_pad", "n_pad", "interpret")
+    jax.jit,
+    static_argnames=("m_pad", "rb_count", "k_pad", "n_pad", "interpret", "wb"),
 )
 def _spmm_call(
     vals, meta, rbcb, b_pad,
     m_pad: int, rb_count: int, k_pad: int, n_pad: int, interpret: bool,
+    wb: int = 1,
 ):
     n_mr = m_pad // MR_BLOCK
     n_n = n_pad // N_TILE
@@ -120,7 +124,7 @@ def _spmm_call(
         scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.int32)],
     )
     return pl.pallas_call(
-        _spmm_kernel,
+        functools.partial(_spmm_kernel, wb=wb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rb_count * LANE, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -147,5 +151,6 @@ def spmm(layout: MicroBlockLayout, b, *, interpret: bool = False):
     out = _spmm_call(
         layout.vals, layout.meta, layout.rbcb, b_pad,
         layout.vals.shape[0], rb_count, k_pad, n_pad, interpret,
+        wb=layout.window // LANE,
     )
     return out[: layout.nrows, :n]

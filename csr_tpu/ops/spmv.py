@@ -48,32 +48,51 @@ from .microblock import LANE, MR_BLOCK, MicroBlockLayout
 _VREGS = MR_BLOCK // 8  # vector registers of micro-rows per grid step
 
 
-def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, oper_ref):
+def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
+    oper_ref = scratch[0]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # stage 1: assemble each micro-row's x window into scratch
+    # stage 1: assemble each micro-row's x window into scratch.  With the
+    # 256-wide double window (wb=2) each micro-row gets two operand vregs,
+    # staged in two scratch blocks (lane count per block caps at 128, the
+    # dynamic_gather limit).
     def build(i, _):
         base = pl.multiple_of(i * 8, 8)
-        rows = []
+        rows = [[] for _ in range(wb)]
         for s in range(8):
             cb = rbcb_ref[base + s] & 0xFFFF
-            rows.append(x_ref[pl.ds(cb, 1), :])
-        oper_ref[pl.ds(base, 8), :] = jnp.concatenate(rows, axis=0)
+            # wb separate single-row slices: a contiguous (wb, 128) slice
+            # plus a static sublane split measures 3.4x slower (the split
+            # forces per-vreg relayouts)
+            for w in range(wb):
+                rows[w].append(x_ref[pl.ds(cb * wb + w, 1), :])
+        for w in range(wb):
+            scratch[w][pl.ds(base, 8), :] = jnp.concatenate(rows[w], axis=0)
         return 0
 
     jax.lax.fori_loop(0, _VREGS, build, 0, unroll=False)
 
     # unpack the u16 metadata stream (6 B/slot total with vals)
     meta = meta_ref[:].astype(jnp.int32)
-    lo = meta & 127
-    epos = meta >> 7
+    if wb == 1:
+        lo = meta & 127
+        epos = meta >> 7
+    else:
+        lo = meta & 255
+        epos = meta >> 8
 
     # stage 2: full-block gather + scale
-    g = jnp.take_along_axis(oper_ref[:], lo, axis=1)
+    if wb == 1:
+        g = jnp.take_along_axis(oper_ref[:], lo, axis=1)
+    else:
+        lo7 = lo & 127
+        g0 = jnp.take_along_axis(scratch[0][:], lo7, axis=1)
+        g1 = jnp.take_along_axis(scratch[1][:], lo7, axis=1)
+        g = jnp.where(lo < 128, g0, g1)
     p = vals_ref[:] * g
 
     # stage 3: MXU prefix sum + boundary gather
@@ -107,11 +126,11 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, oper_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m_pad", "rb_count", "cb_count", "interpret")
+    jax.jit, static_argnames=("m_pad", "rb_count", "cb_count", "wb", "interpret")
 )
 def _spmv_call(
     vals, meta, rbcb, x_pad, m_pad: int, rb_count: int, cb_count: int,
-    interpret: bool,
+    interpret: bool, wb: int = 1,
 ):
     n_steps = m_pad // MR_BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -125,10 +144,10 @@ def _spmv_call(
             pl.BlockSpec((cb_count, LANE), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((rb_count, LANE), lambda i: (0, 0)),
-        scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.float32)] * wb,
     )
     return pl.pallas_call(
-        _spmv_kernel,
+        functools.partial(_spmv_kernel, wb=wb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rb_count, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -150,6 +169,6 @@ def spmv(layout: MicroBlockLayout, x, *, interpret: bool = False):
     m_pad = layout.vals.shape[0]
     y_mat = _spmv_call(
         layout.vals, layout.meta, layout.rbcb, x_pad,
-        m_pad, rb_count, cb_count, interpret,
+        m_pad, rb_count, cb_count, interpret, wb=layout.window // LANE,
     )
     return y_mat.reshape(-1)[: layout.nrows]

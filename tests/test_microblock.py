@@ -2,21 +2,28 @@
 
 The analog of the reference's direct SMMP symbolic-pass unit tests
 (reference: tests/test_kernel_numba.py:14-30): verify the Pallas kernels'
-data layout directly.
+data layout directly, for both the 128- and 256-column window variants.
 """
 
 import numpy as np
+import pytest
 from hypothesis import given
 import hypothesis.strategies as st
 
-from csr_tpu.ops.microblock import LANE, build_microblocks
+from csr_tpu.ops.microblock import (
+    LANE, build_microblocks, build_microblocks_host, choose_window,
+    estimate_microrows,
+)
 from csr_tpu.test_utils import csrs
 from util import to_dense
 
 
-@given(csrs(values=True))
-def test_microblock_invariants(csr):
-    mb = build_microblocks(csr)
+@pytest.mark.parametrize("window", [128, 256])
+@given(csr=csrs(values=True))
+def test_microblock_invariants(window, csr):
+    mb = build_microblocks(csr, window=window)
+    assert mb.window == window
+    shift = window.bit_length() - 1
     vals = np.asarray(mb.vals)
     lo, epos = mb.unpack_meta()
     rbcb = np.asarray(mb.rbcb)
@@ -30,6 +37,7 @@ def test_microblock_invariants(csr):
     assert np.all(np.diff(epos, axis=1) >= 0)
     assert np.all(epos >= 0)
     assert np.all(epos[:, -1] <= LANE)
+    assert np.all(lo < window)
 
     # every window coordinate is in range
     rb = rbcb >> 16
@@ -38,7 +46,7 @@ def test_microblock_invariants(csr):
     assert np.all(cb >= 0)
     if csr.nnz:
         assert rb.max() <= (csr.nrows - 1) >> 7
-        assert cb.max() <= (csr.ncols - 1) >> 7
+        assert cb.max() <= (csr.ncols - 1) >> shift
 
     # reconstruct the dense matrix from the layout: every stored entry
     # appears exactly once with its window-local coordinates
@@ -50,7 +58,7 @@ def test_microblock_invariants(csr):
         n = len(local_rows)
         for s in range(n):
             r = (rb[mr] << 7) + local_rows[s]
-            c = (cb[mr] << 7) + lo[mr, s]
+            c = (cb[mr] << shift) + lo[mr, s]
             dense[r, c] += vals[mr, s]
         # padding slots hold zero values
         assert np.all(vals[mr, n:] == 0)
@@ -69,12 +77,24 @@ def test_microblock_fill(csr):
         assert 0 < mb.fill <= 1.0
 
 
-@given(csrs(values=True))
-def test_native_build_matches_numpy(csr):
+@given(csrs())
+def test_window_chooser(csr):
+    """The chooser picks a valid window and its estimates match the builds."""
+    rp = np.asarray(csr.rowptrs)
+    cols = np.asarray(csr.colinds)
+    w = choose_window(rp, cols)
+    assert w in (128, 256)
+    for window in (128, 256):
+        est = estimate_microrows(rp, cols, window)
+        built = build_microblocks(csr, window=window)
+        assert est == built.n_microrows
+
+
+@pytest.mark.parametrize("window", [128, 256])
+@given(csr=csrs(values=True))
+def test_native_build_matches_numpy(window, csr):
     """The C++ layout builder is bit-exact with the numpy reference
     (the native module's role, reference: csr/kernels/mkl/mkl_ops.c)."""
-    import pytest
-
     from csr_tpu import native
     from csr_tpu.ops.microblock import MR_BLOCK
 
@@ -85,15 +105,17 @@ def test_native_build_matches_numpy(csr):
     rp = np.asarray(csr.rowptrs)
     cols = np.asarray(csr.colinds)
     vals = None if csr.values is None else np.asarray(csr.values)
-    nat = native.build_microblocks(csr.nrows, csr.ncols, rp, cols, vals, MR_BLOCK)
+    nat = native.build_microblocks(
+        csr.nrows, csr.ncols, rp, cols, vals, MR_BLOCK, window
+    )
     assert nat is not None
 
     saved = native.build_microblocks
     native.build_microblocks = lambda *a, **k: None
     try:
-        from csr_tpu.ops.microblock import build_microblocks_host
-
-        ref = build_microblocks_host(csr.nrows, csr.ncols, rp, cols, vals)
+        ref = build_microblocks_host(
+            csr.nrows, csr.ncols, rp, cols, vals, window=window
+        )
     finally:
         native.build_microblocks = saved
 

@@ -66,3 +66,45 @@ def test_mult_vec_sharded(kernel, data):
         k.max_nnz = old
     scale = max(1.0, np.abs(ref).max(initial=0))
     np.testing.assert_allclose(y, ref, rtol=5e-4, atol=1e-4 * scale)
+
+
+def test_spmv_double_window_wide():
+    """Exercise the 256-column double-window kernel path with columns that
+    actually land in the upper half of a window (lo >= 128), which tiny
+    hypothesis matrices cannot reach."""
+    import scipy.sparse as sps
+    import jax.numpy as jnp
+
+    from csr_tpu import CSR
+    from csr_tpu.ops import microblock as mb, spmv as spmv_op
+
+    rng = np.random.default_rng(7)
+    m = sps.random(500, 3000, 0.04, format="csr", random_state=rng,
+                   dtype=np.float32)
+    csr = CSR.from_scipy(m)
+    x = rng.standard_normal(3000).astype(np.float32)
+    ref = m @ x
+    for window in (128, 256):
+        lay = mb.build_microblocks(csr, window=window)
+        assert lay.window == window
+        y = np.asarray(spmv_op.spmv(lay, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_spmm_double_window_wide():
+    import scipy.sparse as sps
+    import jax.numpy as jnp
+
+    from csr_tpu import CSR
+    from csr_tpu.ops import microblock as mb, spmm as spmm_op
+
+    rng = np.random.default_rng(8)
+    m = sps.random(300, 2500, 0.05, format="csr", random_state=rng,
+                   dtype=np.float32)
+    csr = CSR.from_scipy(m)
+    B = rng.standard_normal((2500, 64)).astype(np.float32)
+    ref = m @ B
+    for window in (128, 256):
+        lay = mb.build_microblocks(csr, window=window)
+        C = np.asarray(spmm_op.spmm(lay, jnp.asarray(B), interpret=True))
+        np.testing.assert_allclose(C, ref, rtol=1e-5, atol=1e-4)
