@@ -94,8 +94,11 @@ def main():
 
         return jax.lax.fori_loop(0, k, body, x0)
 
-    K = 30 if not on_cpu else 2
-    reps = 5 if not on_cpu else 1
+    # Each jitted chain invocation costs ~22 ms of dispatch/fetch through
+    # the tunnel runtime regardless of K (measured: scratch/fixed_cost.py);
+    # K must be large enough to amortize it below the noise floor.
+    K = 300 if not on_cpu else 2
+    reps = 3 if not on_cpu else 1
     out = chain(layout.vals, layout.meta, layout.rbcb, x_pad, K)
     float(jnp.sum(out))  # warmup + compile
     # The remote-tunnel runtime has substantial run-to-run variance; take
