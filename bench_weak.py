@@ -75,7 +75,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-device", type=int, default=16384)
     ap.add_argument("--nnz-per-row", type=int, default=327)
-    ap.add_argument("--iters", type=int, default=20)
+    # each chain dispatch costs ~22 ms through the tunnel runtime
+    # (docs/perf.md); iters must amortize it
+    ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--max-devices", type=int, default=None)
     args = ap.parse_args()

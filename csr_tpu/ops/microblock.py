@@ -156,14 +156,15 @@ def estimate_microrows(rp, cols, window: int) -> int:
 def choose_window(rp, cols) -> int:
     """Pick the micro-row window width by cost model.
 
-    The 256-wide SpMV kernel measures ~1.28x the per-step cost of the
-    128-wide one (8 extra operand slices per vreg, second gather, select;
-    v5e, 10.7M nnz), so it wins when it removes >22% of the micro-rows."""
+    With the unrolled kernel loops the 256-wide SpMV step costs ~1.5x the
+    128-wide one (v5e, 10.7M nnz: 3.45 vs 5.13 us/step — the extra operand
+    slices dominate the unrolled build loop), so it wins only when it
+    removes >33% of the micro-rows."""
     m128 = estimate_microrows(rp, cols, 128)
     if m128 == 0:
         return 128
     m256 = estimate_microrows(rp, cols, 256)
-    return 256 if m256 <= 0.78 * m128 else 128
+    return 256 if m256 <= 0.67 * m128 else 128
 
 
 def build_microblocks(csr, window: int | None = None) -> MicroBlockLayout:

@@ -74,7 +74,10 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
             scratch[w][pl.ds(base, 8), :] = jnp.concatenate(rows[w], axis=0)
         return 0
 
-    jax.lax.fori_loop(0, _VREGS, build, 0, unroll=False)
+    # Full unroll: Mosaic supports only unroll=1 or =trip-count for kernel
+    # loops, and unrolling removes the scalar loop-carried dependency --
+    # measured -22% per step (build) and -14% (acc) on v5e (docs/perf.md).
+    jax.lax.fori_loop(0, _VREGS, build, 0, unroll=_VREGS)
 
     # unpack the u16 metadata stream (6 B/slot total with vals)
     meta = meta_ref[:].astype(jnp.int32)
@@ -122,7 +125,7 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
         out_ref[pl.ds(rb, 1), :] += win
         return 0
 
-    jax.lax.fori_loop(0, _VREGS, acc, 0, unroll=False)
+    jax.lax.fori_loop(0, _VREGS, acc, 0, unroll=_VREGS)
 
 
 @functools.partial(

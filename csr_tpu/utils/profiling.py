@@ -95,13 +95,17 @@ def timed(fn, *args, iters: int = 10):
     return times[len(times) // 2]
 
 
-def timed_chained(step, x0, iters: int = 30):
+def timed_chained(step, x0, iters: int = 300, reps: int = 3):
     """Seconds per iteration of ``x -> step(x)`` chained inside one jitted
-    loop with a host fetch at the end.
+    loop with a host fetch at the end; best of ``reps`` runs.
 
     Chaining makes every iteration data-dependent, so neither XLA nor an
     asynchronous runtime can elide or overlap them; the host fetch bounds
     the measurement by real device completion.
+
+    ``iters`` must be large: each chain *dispatch* costs ~22 ms through
+    remote-tunnel runtimes regardless of length (docs/perf.md), so the
+    per-iteration figure carries a +22ms/iters bias.
     """
     import jax.numpy as jnp
     from functools import partial
@@ -111,6 +115,9 @@ def timed_chained(step, x0, iters: int = 30):
         return jax.lax.fori_loop(0, k, lambda i, v: step(v), x)
 
     float(jnp.sum(chain(x0, iters)))  # compile + warmup
-    t0 = time.perf_counter()
-    float(jnp.sum(chain(x0, iters)))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.sum(chain(x0, iters)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
