@@ -69,7 +69,8 @@ class CSR:
         values(jax.Array or None): the values, shape ``(nnz,)``.
     """
 
-    __slots__ = ("nrows", "ncols", "rowptrs", "colinds", "_values", "_host")
+    __slots__ = ("nrows", "ncols", "rowptrs", "colinds", "_values", "_host",
+                 "_mb_layout_cache")
 
     def __init__(self, nrows, ncols, nnz, rps, cis, vs, _cast=True):
         assert nrows >= 0
@@ -271,6 +272,36 @@ class CSR:
         return sps.csr_matrix(
             (values, np.asarray(self.colinds), np.asarray(self.rowptrs)),
             shape=(self.nrows, self.ncols),
+        )
+
+    @classmethod
+    def from_bcoo(cls, mat):
+        """Convert a ``jax.experimental.sparse.BCOO`` matrix (JAX's native
+        sparse format) to a device CSR.
+
+        The TPU-era analog of the reference's scipy interop
+        (reference: csr/csr.py:171-192): duplicate coordinates must already
+        be summed (``mat.sum_duplicates()``)."""
+        assert mat.ndim == 2, "only 2-D BCOO supported"
+        rows = np.asarray(mat.indices[:, 0])
+        cols = np.asarray(mat.indices[:, 1])
+        return cls.from_coo(rows, cols, np.asarray(mat.data), shape=mat.shape)
+
+    def to_bcoo(self):
+        """Convert to a ``jax.experimental.sparse.BCOO`` matrix (row-major
+        sorted indices)."""
+        from jax.experimental import sparse as jsparse
+
+        indices = jnp.stack(
+            [jnp.asarray(self.rowinds(), dtype=jnp.int32),
+             self.colinds.astype(jnp.int32)],
+            axis=1,
+        )
+        return jsparse.BCOO(
+            (self._required_values(), indices),
+            shape=(self.nrows, self.ncols),
+            indices_sorted=True,
+            unique_indices=True,
         )
 
     # -- implicit-value helpers -------------------------------------------

@@ -39,6 +39,40 @@ def _interpret_mode() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _cached_layout(csr) -> microblock.MicroBlockLayout:
+    """Micro-block layout for ``csr``, cached on the CSR object.
+
+    The layout build is the expensive ``to_handle`` preprocessing (host
+    sort + pack, seconds at 10M nnz), and the reference's API creates a
+    fresh handle per ``mult_vec``/``multiply`` call (csr/csr.py:581-583) —
+    without a cache every high-level call would pay the build.  The cache
+    key is the *identity* of the three buffers, so in-place ops that
+    replace them (``sort_rows``) invalidate naturally.  (Like MKL handles
+    aliasing numpy buffers, reference csr/kernels/mkl/handle.py:55,
+    externally mutating a buffer's contents in place would go stale.)"""
+    cached = getattr(csr, "_mb_layout_cache", None)
+    if (
+        cached is not None
+        and cached[0] is csr.rowptrs
+        and cached[1] is csr.colinds
+        and cached[2] is csr.values
+    ):
+        return cached[3]
+    layout = microblock.build_microblocks(csr)
+    trace(
+        "layout-build",
+        nnz=layout.nnz,
+        microrows=layout.n_microrows,
+        fill=round(layout.fill, 3),
+        bytes=layout.nbytes,
+    )
+    try:
+        csr._mb_layout_cache = (csr.rowptrs, csr.colinds, csr.values, layout)
+    except AttributeError:
+        pass
+    return layout
+
+
 class PallasHandle:
     """Device handle: the CSR plus its (lazily built) device forms —
     micro-block layout for SpMV, dense form for MXU SpMM/SpGEMM."""
@@ -54,15 +88,7 @@ class PallasHandle:
     @property
     def layout(self) -> microblock.MicroBlockLayout:
         if self._layout is None:
-            self._layout = microblock.build_microblocks(self.csr)
-            lay = self._layout
-            trace(
-                "layout-build",
-                nnz=lay.nnz,
-                microrows=lay.n_microrows,
-                fill=round(lay.fill, 3),
-                bytes=lay.nbytes,
-            )
+            self._layout = _cached_layout(self.csr)
         return self._layout
 
     @property
@@ -98,6 +124,11 @@ def from_handle(h):
 
 
 def release_handle(h):
+    """Drop the handle's device references.  The micro-block layout cache
+    lives on the CSR object itself (see :func:`_cached_layout`) and is
+    collected with the matrix — releasing a handle keeps repeated
+    high-level calls cheap, unlike MKL handles whose buffers must be freed
+    eagerly (reference: csr/kernels/mkl/handle.py:144-148)."""
     trace("release_handle", kernel="pallas", nnz=h.csr.nnz)
     h._layout = None
     h._xla_handle = None

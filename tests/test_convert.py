@@ -50,3 +50,30 @@ def test_normalize(csr):
     np.testing.assert_allclose(to_dense(n), to_dense(csr), rtol=1e-6)
     n2 = csr._normalize(False)
     assert n2.values is None
+
+
+def test_bcoo_roundtrip():
+    """BCOO (JAX-native sparse) interop, the TPU-era analog of the
+    reference's scipy round-trip (reference: tests/test_convert.py)."""
+    import numpy as np
+    import scipy.sparse as sps
+
+    from csr_tpu import CSR
+
+    rng = np.random.default_rng(4)
+    m = sps.random(60, 45, 0.1, format="csr", random_state=rng,
+                   dtype=np.float32)
+    csr = CSR.from_scipy(m)
+    b = csr.to_bcoo()
+    assert b.shape == (60, 45)
+    np.testing.assert_allclose(np.asarray(b.todense()), m.toarray(),
+                               rtol=1e-6, atol=1e-6)
+    back = CSR.from_bcoo(b)
+    assert (back.to_scipy() != m).nnz == 0
+
+    # structure-only matrices materialize implicit ones
+    s = csr.copy(include_values=False)
+    bs = s.to_bcoo()
+    np.testing.assert_allclose(
+        np.asarray(bs.todense()), (m.toarray() != 0).astype(np.float32)
+    )
