@@ -82,6 +82,13 @@ class Roofline:
         }
 
 
+def profiler_trace(log_dir: str):
+    """Context manager wrapping ``jax.profiler.trace`` — captures a device
+    trace viewable in TensorBoard/Perfetto (the deep-dive complement to
+    the always-on Roofline counters; SURVEY §5 tracing equivalent)."""
+    return jax.profiler.trace(log_dir)
+
+
 def timed(fn, *args, iters: int = 10):
     """Median wall-clock seconds per call of ``fn(*args)`` with device sync."""
     fn(*args)
