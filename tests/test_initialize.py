@@ -104,3 +104,47 @@ def test_from_coo_preserves_in_row_order():
     m = CSR.from_coo(rows, cols, vals, (1, 10))
     assert np.all(np.asarray(m.colinds) == [5, 2, 7])
     assert np.all(np.asarray(m.values) == [1.0, 2.0, 3.0])
+
+
+# -- large-scale gated tests (reference: tests/test_initialize.py:56-98,
+# tests/test_mkl.py:94-125) -------------------------------------------------
+
+_BIG_ROWS = 4_200_000
+_BIG_NPR = 512  # 2.1504e9 nnz > INT32_MAX -> int64 rowptrs
+
+
+@pytest.mark.skipif(
+    not test_utils.has_memory(48), reason="needs >=48 GB RAM"
+)
+def test_large_nnz_int64_rowptrs():
+    """Construction past INT32_MAX entries promotes rowptrs to int64
+    (reference: tests/test_initialize.py:56-98)."""
+    import jax.numpy as jnp
+
+    csr = CSR.empty(_BIG_ROWS, 500, np.full(_BIG_ROWS, _BIG_NPR))
+    assert csr.nnz == _BIG_ROWS * _BIG_NPR
+    assert csr.nnz > np.iinfo(np.int32).max
+    assert csr.rowptrs.dtype == jnp.int64
+    assert int(csr.rowptrs[-1]) == csr.nnz
+
+
+@pytest.mark.skipif(
+    not test_utils.has_memory(48), reason="needs >=48 GB RAM"
+)
+def test_large_nnz_spmv_smoke():
+    """SpMV at >INT32_MAX stored entries completes without NaNs
+    (reference: tests/test_mkl.py:94-125 at 2.5B nnz)."""
+    rng = np.random.default_rng(0)
+    nnz = _BIG_ROWS * _BIG_NPR
+    rowptrs = np.arange(_BIG_ROWS + 1, dtype=np.int64) * _BIG_NPR
+    colinds = rng.integers(0, 500, nnz, dtype=np.int32)
+    csr = CSR(_BIG_ROWS, 500, nnz, rowptrs, colinds, None)
+    x = np.ones(500, np.float32)
+    from csr_tpu.kernels import use_kernel
+
+    with use_kernel("xla"):
+        y = np.asarray(csr.mult_vec(x))
+    assert y.shape == (_BIG_ROWS,)
+    assert np.all(np.isfinite(y))
+    # structure-only implicit ones: every row sums to its entry count
+    assert np.all(y == _BIG_NPR)
