@@ -74,8 +74,8 @@ def tmp_path_shared(tmp_path_factory):
     return tmp_path_factory.mktemp("csr")
 
 
-settings.register_profile("default", deadline=2500)
+settings.register_profile("default", max_examples=50, deadline=None)
 settings.register_profile("large", max_examples=5000, deadline=None)
-settings.register_profile("fast", max_examples=50, deadline=2500)
+settings.register_profile("fast", max_examples=50, deadline=None)
 settings.register_profile("ci", max_examples=8, deadline=None)
-settings.load_profile(os.environ.get("CSR_HYPOTHESIS_PROFILE", "ci"))
+settings.load_profile(os.environ.get("CSR_HYPOTHESIS_PROFILE", "default"))

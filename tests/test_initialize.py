@@ -6,7 +6,7 @@ from hypothesis import given, settings
 import hypothesis.strategies as st
 
 from csr_tpu import CSR, create_empty, create_from_sizes
-from csr_tpu.test_utils import csrs
+from csr_tpu.test_utils import csrs, has_memory
 
 
 def test_create_empty_basic():
@@ -39,6 +39,24 @@ def test_empty_with_sizes(data):
     assert np.all(np.diff(np.asarray(m.rowptrs)) == np.asarray(sizes))
     assert m.values is not None
     assert np.all(np.asarray(m.values) == 0)
+
+
+def test_from_coo_rpdtype():
+    """from_coo honors an explicit rowptr dtype (the reference accepts
+    rpdtype but never reads it, reference: csr/csr.py:140)."""
+    rows = [0, 1, 1, 3]
+    cols = [2, 0, 3, 1]
+    vals = [1.0, 2.0, 3.0, 4.0]
+    c64 = CSR.from_coo(rows, cols, vals, (4, 4), rpdtype=np.int64)
+    # honored even without jax_enable_x64 (x64 scope guards the cast)
+    assert c64.rowptrs.dtype == np.int64
+    c16 = CSR.from_coo(rows, cols, vals, (4, 4), rpdtype=np.int16)
+    assert c16.rowptrs.dtype == np.int16
+    # capacity check: int8 cannot address >127 entries
+    big_rows = np.zeros(200, np.int32)
+    big_cols = np.arange(200, dtype=np.int32) % 4
+    with pytest.raises(ValueError):
+        CSR.from_coo(big_rows, big_cols, None, (1, 4), rpdtype=np.int8)
 
 
 def test_empty_novalues():
@@ -114,7 +132,7 @@ _BIG_NPR = 512  # 2.1504e9 nnz > INT32_MAX -> int64 rowptrs
 
 
 @pytest.mark.skipif(
-    not test_utils.has_memory(48), reason="needs >=48 GB RAM"
+    not has_memory(48), reason="needs >=48 GB RAM"
 )
 def test_large_nnz_int64_rowptrs():
     """Construction past INT32_MAX entries promotes rowptrs to int64
@@ -129,7 +147,7 @@ def test_large_nnz_int64_rowptrs():
 
 
 @pytest.mark.skipif(
-    not test_utils.has_memory(48), reason="needs >=48 GB RAM"
+    not has_memory(48), reason="needs >=48 GB RAM"
 )
 def test_large_nnz_spmv_smoke():
     """SpMV at >INT32_MAX stored entries completes without NaNs
