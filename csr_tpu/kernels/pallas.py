@@ -73,15 +73,62 @@ def _cached_layout(csr) -> microblock.MicroBlockLayout:
     return layout
 
 
+def _cached_layout_t(csr) -> microblock.MicroBlockLayout:
+    """Micro-block layout of ``csr`` TRANSPOSED, cached on the CSR object
+    (same identity-keyed scheme as :func:`_cached_layout`).
+
+    The transpose itself is host preprocessing (native C++ when
+    available), the TPU analog of the reference's transpose-then-multiply
+    structure (reference: csr/kernels/numba/multiply.py:41-57)."""
+    cached = getattr(csr, "_mb_layout_t_cache", None)
+    if (
+        cached is not None
+        and cached[0] is csr.rowptrs
+        and cached[1] is csr.colinds
+        and cached[2] is csr.values
+    ):
+        return cached[3]
+
+    host = getattr(csr, "_host", None)
+    if host is not None:
+        rp, cis, vals = host
+    else:
+        rp = np.asarray(csr.rowptrs)
+        cis = np.asarray(csr.colinds)
+        vals = None if csr.values is None else np.asarray(csr.values)
+    from csr_tpu import native
+
+    vals32 = None if vals is None else np.asarray(vals, np.float32)
+    t_rps, t_cis, t_vls = native.transpose_host(
+        csr.nrows, csr.ncols, rp, cis, vals32
+    )
+    layout = microblock.build_microblocks_host(
+        csr.ncols, csr.nrows, t_rps, t_cis, t_vls
+    )
+    trace(
+        "layout-build-t",
+        nnz=layout.nnz,
+        microrows=layout.n_microrows,
+        fill=round(layout.fill, 3),
+        bytes=layout.nbytes,
+    )
+    try:
+        csr._mb_layout_t_cache = (csr.rowptrs, csr.colinds, csr.values, layout)
+    except AttributeError:
+        pass
+    return layout
+
+
 class PallasHandle:
     """Device handle: the CSR plus its (lazily built) device forms —
     micro-block layout for SpMV, dense form for MXU SpMM/SpGEMM."""
 
-    __slots__ = ("csr", "_layout", "_xla_handle", "_dense")
+    __slots__ = ("csr", "_layout", "_layout_t", "_xla_handle", "_dense")
 
     def __init__(self, csr):
         self.csr = csr
         self._layout = None
+        self._layout_t = None
         self._xla_handle = None
         self._dense = None
 
@@ -90,6 +137,12 @@ class PallasHandle:
         if self._layout is None:
             self._layout = _cached_layout(self.csr)
         return self._layout
+
+    @property
+    def layout_t(self) -> microblock.MicroBlockLayout:
+        if self._layout_t is None:
+            self._layout_t = _cached_layout_t(self.csr)
+        return self._layout_t
 
     @property
     def xla_handle(self):
@@ -123,24 +176,36 @@ def from_handle(h):
     return CSR(c.nrows, c.ncols, c.nnz, c.rowptrs, c.colinds, c.values, _cast=False)
 
 
-def release_handle(h):
+def release_handle(h, drop_cache: bool = False):
     """Drop the handle's device references.  The micro-block layout cache
     lives on the CSR object itself (see :func:`_cached_layout`) and is
     collected with the matrix — releasing a handle keeps repeated
     high-level calls cheap, unlike MKL handles whose buffers must be freed
-    eagerly (reference: csr/kernels/mkl/handle.py:144-148)."""
+    eagerly (reference: csr/kernels/mkl/handle.py:144-148).
+
+    Pass ``drop_cache=True`` to also clear the matrix's cached layout
+    (~1.5x nnz bytes of HBM) for explicit memory reclamation in
+    memory-constrained multi-matrix workflows."""
     trace("release_handle", kernel="pallas", nnz=h.csr.nnz)
     h._layout = None
+    h._layout_t = None
     h._xla_handle = None
     h._dense = None
+    if drop_cache:
+        for attr in ("_mb_layout_cache", "_mb_layout_t_cache"):
+            try:
+                setattr(h.csr, attr, None)
+            except AttributeError:
+                pass
 
 
 def order_columns(h):
     h.csr.sort_rows()
     h._layout = None
+    h._layout_t = None
 
 
-def _pallas_viable(csr, v_dtype) -> bool:
+def _pallas_viable(csr, v_dtype, transpose: bool = False) -> bool:
     if csr.nnz == 0:
         return False
     if jnp.dtype(v_dtype) == jnp.float64 or (
@@ -148,8 +213,11 @@ def _pallas_viable(csr, v_dtype) -> bool:
     ):
         # f64 is emulated on TPU; use the XLA path for full-precision work
         return False
-    rb = -(-csr.nrows // microblock.LANE)
-    cb = -(-csr.ncols // microblock.LANE)
+    out_rows, in_cols = (csr.ncols, csr.nrows) if transpose else (
+        csr.nrows, csr.ncols
+    )
+    rb = -(-out_rows // microblock.LANE)
+    cb = -(-in_cols // microblock.LANE)
     return rb <= _VMEM_WINDOWS and cb <= _VMEM_WINDOWS
 
 
@@ -159,6 +227,20 @@ def mult_vec(h, v):
     if not _pallas_viable(h.csr, v.dtype):
         return _xla.mult_vec(h.xla_handle, v)
     out = _spmv_op.spmv(h.layout, v, interpret=_interpret_mode())
+    out_dtype = _xla._result_dtype(
+        h.csr._required_values().dtype, jnp.asarray(v).dtype
+    )
+    return out.astype(out_dtype)
+
+
+def mult_vec_t(h, v):
+    """Transpose SpMV ``A^T @ v`` on the micro-block kernel, via a cached
+    layout of the transpose (no dense scatter-add over the column space;
+    the reference reaches A^T structurally the same way,
+    reference: csr/kernels/numba/multiply.py:41-57)."""
+    if not _pallas_viable(h.csr, v.dtype, transpose=True):
+        return _xla.mult_vec_t(h.xla_handle, v)
+    out = _spmv_op.spmv(h.layout_t, v, interpret=_interpret_mode())
     out_dtype = _xla._result_dtype(
         h.csr._required_values().dtype, jnp.asarray(v).dtype
     )
@@ -224,10 +306,22 @@ def _spgemm(a_h, b_h, transpose: bool):
     otherwise); compact the product back to CSR.  On TPU this replaces
     SMMP-style symbolic/numeric passes (reference:
     csr/kernels/numba/multiply.py:60-129): at SpGEMM-practical densities
-    the MXU's dense throughput beats any gather/scatter formulation."""
+    the MXU's dense throughput beats any gather/scatter formulation.
+
+    When the dense forms of B or C exceed the
+    :data:`csr_tpu.ops.spgemm.max_dense_elems` budget, the product runs
+    through the bounded-memory ESC path instead — the capacity contract
+    the reference enforces via ``max_nnz`` sharding
+    (reference: csr/csr.py:558-567)."""
+    from csr_tpu.ops import spgemm as esc
+
     a, b = a_h.csr, b_h.csr
     b_vals = b._required_values()
     out_dtype = _xla._result_dtype(a._required_values().dtype, b_vals.dtype)
+    n_out = b.nrows if transpose else b.ncols
+    if not esc.dense_fits(a.nrows, b.nrows, b.ncols, n_out):
+        mul = esc.esc_mult_abt if transpose else esc.esc_mult_ab
+        return to_handle(mul(a, b, out_dtype))
     bx = b_h.xla_handle
     b_dense = _xla._densify(
         b_vals, b.colinds, bx.row_ids, b.nrows, b.ncols, jnp.float32

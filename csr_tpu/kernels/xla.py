@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from csr_tpu import dtypes, structure
 from csr_tpu.dtypes import big_int
 from csr_tpu.kernels import trace
+from csr_tpu.ops import spgemm as _esc
 
 max_nnz = np.iinfo("i8").max
 
@@ -95,6 +96,24 @@ def mult_vec(h, v):
     return _spmv(vals, c.colinds, h.row_ids, v, c.nrows, out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("ncols", "out_dtype"))
+def _spmv_t(values, colinds, row_ids, v, ncols: int, out_dtype):
+    prod = values.astype(out_dtype) * v.astype(out_dtype)[row_ids]
+    return jax.ops.segment_sum(prod, colinds.astype(jnp.int32),
+                               num_segments=ncols)
+
+
+def mult_vec_t(h, v):
+    """Transpose SpMV ``A^T @ v`` (TPU-era contract extension; the
+    reference reaches it structurally via transpose + mult_vec,
+    reference: csr/kernels/numba/multiply.py:41-57)."""
+    c = h.csr
+    vals = c._required_values()
+    v = jnp.asarray(v)
+    out_dtype = _result_dtype(vals.dtype, v.dtype)
+    return _spmv_t(vals, c.colinds, h.row_ids, v, c.ncols, out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("nrows", "ncols", "out_dtype"))
 def _spgemm_dense(a_vals, a_cols, a_rids, b_dense, nrows: int, ncols: int, out_dtype):
     """Dense-accumulator SpGEMM: C[r] += a_i * B[c_i, :]."""
@@ -141,13 +160,16 @@ def mult_dense(h, B):
 
 
 def mult_ab(a_h, b_h):
-    """SpGEMM ``A @ B`` via dense accumulation
+    """SpGEMM ``A @ B`` via dense accumulation when the dense
+    intermediates fit the memory budget, ESC otherwise
     (replaces SMMP, reference: csr/kernels/numba/multiply.py:13-38)."""
     a, b = a_h.csr, b_h.csr
     assert a.ncols == b.nrows
     a_vals = a._required_values()
     b_vals = b._required_values()
     out_dtype = _result_dtype(a_vals.dtype, b_vals.dtype)
+    if not _esc.dense_fits(a.nrows, b.nrows, b.ncols, b.ncols):
+        return to_handle(_esc.esc_mult_ab(a, b, out_dtype))
     b_dense = _densify(b_vals, b.colinds, b_h.row_ids, b.nrows, b.ncols, out_dtype)
     c_dense = _spgemm_dense(
         a_vals, a.colinds, a_h.row_ids, b_dense, a.nrows, b.ncols, out_dtype
@@ -162,6 +184,8 @@ def mult_abt(a_h, b_h):
     a_vals = a._required_values()
     b_vals = b._required_values()
     out_dtype = _result_dtype(a_vals.dtype, b_vals.dtype)
+    if not _esc.dense_fits(a.nrows, b.nrows, b.ncols, b.nrows):
+        return to_handle(_esc.esc_mult_abt(a, b, out_dtype))
     bt_dense = _densify(b_vals, b.colinds, b_h.row_ids, b.nrows, b.ncols, out_dtype).T
     c_dense = _spgemm_dense(
         a_vals, a.colinds, a_h.row_ids, bt_dense, a.nrows, b.nrows, out_dtype

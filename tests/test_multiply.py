@@ -74,6 +74,80 @@ def test_mult_ab_sharded(kernel, data):
     _check_product(C, ref)
 
 
+@settings(max_examples=6)
+@given(st.data())
+def test_mult_ab_esc_budget(kernel, data):
+    """Dense-intermediate budget forces the bounded-memory ESC path
+    (the shrunken-capacity pattern of reference tests/test_mkl.py:29-38);
+    results must match the dense-routing path exactly in structure."""
+    from csr_tpu.ops import spgemm
+
+    A, B = data.draw(mm_pairs(max_shape=(40, 20, 30)))
+    ref = to_dense(A) @ to_dense(B)
+    old = spgemm.max_dense_elems
+    try:
+        spgemm.max_dense_elems = 4  # nothing fits: every product is ESC
+        with use_kernel(kernel):
+            C = A.multiply(B)
+            Ct = A.multiply(B.transpose(), transpose=True)
+    finally:
+        spgemm.max_dense_elems = old
+    _check_product(C, ref)
+    _check_product(Ct, ref)
+
+
+def test_mult_ab_esc_chunked(kernel):
+    """ESC honors its expansion budget by processing A in row chunks."""
+    import scipy.sparse as sps
+
+    from csr_tpu import CSR
+    from csr_tpu.ops import spgemm
+
+    rng = np.random.default_rng(9)
+    A = sps.random(120, 90, 0.08, format="csr", random_state=rng,
+                   dtype=np.float32)
+    B = sps.random(90, 100, 0.08, format="csr", random_state=rng,
+                   dtype=np.float32)
+    ref = (A @ B).toarray()
+    old = (spgemm.max_dense_elems, spgemm.esc_chunk_entries)
+    try:
+        spgemm.max_dense_elems = 4
+        spgemm.esc_chunk_entries = 200  # ~forces many chunks
+        with use_kernel(kernel):
+            C = CSR.from_scipy(A).multiply(CSR.from_scipy(B))
+    finally:
+        spgemm.max_dense_elems, spgemm.esc_chunk_entries = old
+    _check_product(C, ref)
+
+
+def test_mult_ab_huge_shape_smoke():
+    """SpGEMM on shapes whose dense forms could never be materialized
+    (the capability the reference gets from SMMP + max_nnz sharding,
+    reference: csr/kernels/numba/multiply.py:60-129): 200k x 200k at
+    d=2e-5 would densify to 160 GB; ESC computes it in bounded memory."""
+    import scipy.sparse as sps
+
+    from csr_tpu import CSR
+
+    n = 200_000
+    rng = np.random.default_rng(17)
+    A = sps.random(n, n, 4.0 / n, format="csr", random_state=rng,
+                   dtype=np.float32)
+    B = sps.random(n, n, 4.0 / n, format="csr", random_state=rng,
+                   dtype=np.float32)
+    with use_kernel("pallas"):
+        C = CSR.from_scipy(A).multiply(CSR.from_scipy(B))
+    ref = A @ B
+    ref.sum_duplicates()
+    ref.eliminate_zeros()
+    got = C.to_scipy()
+    assert got.shape == ref.shape
+    assert got.nnz == ref.nnz
+    # compare without densifying
+    diff = (got - ref)
+    assert abs(diff).max() <= 1e-5 * max(1.0, abs(ref).max())
+
+
 def test_product_filters_zeros(kernel):
     """Explicitly-cancelling products are dropped
     (reference: csr/csr.py:553-556)."""
