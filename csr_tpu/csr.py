@@ -42,9 +42,13 @@ __all__ = ["CSR"]
 def _as_index_array(x, dtype):
     if x is None:
         return None
-    if isinstance(x, jax.Array):
-        return x.astype(dtype) if x.dtype != dtype else x
-    return jnp.asarray(np.require(np.asarray(x), np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype), "C"))
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    # int64 indices (rowptrs past INT32_MAX entries) must not silently
+    # narrow when jax_enable_x64 is off
+    with dtypes.x64_scope(np_dtype.itemsize >= 8):
+        if isinstance(x, jax.Array):
+            return x.astype(dtype) if x.dtype != dtype else x
+        return jnp.asarray(np.require(np.asarray(x), np_dtype, "C"))
 
 
 class CSR:
@@ -70,7 +74,7 @@ class CSR:
     """
 
     __slots__ = ("nrows", "ncols", "rowptrs", "colinds", "_values", "_host",
-                 "_mb_layout_cache")
+                 "_mb_layout_cache", "_mb_layout_t_cache")
 
     def __init__(self, nrows, ncols, nnz, rps, cis, vs, _cast=True):
         assert nrows >= 0
@@ -199,6 +203,12 @@ class CSR:
             cols(array-like): the column indices.
             vals(array-like): the data values; can be ``None``.
             shape(tuple): the array shape, or ``None`` to infer it.
+            rpdtype(numpy.dtype):
+                row-pointer integer dtype, or ``None`` for the automatic
+                policy (int32, widened past INT32_MAX entries).  The
+                reference accepts this argument but never reads it
+                (reference: csr/csr.py:140 — signature only); here it is
+                honored, with a capacity check against ``nnz``.
         """
         rows = np.asarray(rows) if not isinstance(rows, jax.Array) else rows
         cols = np.asarray(cols) if not isinstance(cols, jax.Array) else cols
@@ -219,7 +229,9 @@ class CSR:
                 )
             nrows, ncols = shape
             rps, cis, vs = structure.from_coo(nrows, rows, cols, vals)
-            return cls(nrows, ncols, nnz, rps, cis, vs)
+            return cls._with_rpdtype(
+                cls(nrows, ncols, nnz, rps, cis, vs), rpdtype
+            )
 
         if nnz:
             rmin = int(jnp.min(jnp.asarray(rows))) if isinstance(rows, jax.Array) else int(np.min(rows))
@@ -240,7 +252,25 @@ class CSR:
             ncols = cmax + 1
 
         rps, cis, vs = structure.from_coo(nrows, rows, cols, vals)
-        return cls(nrows, ncols, nnz, rps, cis, vs)
+        return cls._with_rpdtype(cls(nrows, ncols, nnz, rps, cis, vs), rpdtype)
+
+    @staticmethod
+    def _with_rpdtype(csr, rpdtype):
+        """Apply an explicit row-pointer dtype request to a fresh matrix.
+
+        int64 requests are honored even without ``jax_enable_x64``
+        (an x64 scope guards the conversion from silent narrowing)."""
+        if rpdtype is None:
+            return csr
+        rpdtype = np.dtype(rpdtype)
+        if csr.nnz > np.iinfo(rpdtype).max:
+            raise ValueError(
+                f"rpdtype {rpdtype} cannot address {csr.nnz} entries"
+            )
+        if csr.rowptrs.dtype != rpdtype:
+            with dtypes.x64_scope(rpdtype.itemsize >= 8):
+                csr.rowptrs = csr.rowptrs.astype(rpdtype)
+        return csr
 
     @classmethod
     def from_scipy(cls, mat, copy=True):
@@ -283,13 +313,24 @@ class CSR:
         (reference: csr/csr.py:171-192): duplicate coordinates must already
         be summed (``mat.sum_duplicates()``)."""
         assert mat.ndim == 2, "only 2-D BCOO supported"
+        # batch/dense dimensions change the indices layout: a BCOO with
+        # n_batch/n_dense > 0 is still 2-D but indices[:, 0/1] would misparse
+        assert mat.n_batch == 0 and mat.n_dense == 0, (
+            "only unbatched, fully-sparse BCOO supported"
+        )
         rows = np.asarray(mat.indices[:, 0])
         cols = np.asarray(mat.indices[:, 1])
         return cls.from_coo(rows, cols, np.asarray(mat.data), shape=mat.shape)
 
     def to_bcoo(self):
-        """Convert to a ``jax.experimental.sparse.BCOO`` matrix (row-major
-        sorted indices)."""
+        """Convert to a ``jax.experimental.sparse.BCOO`` matrix.
+
+        Indices come out in row-major order (rows ascend), but CSR permits
+        unsorted in-row columns and duplicate coordinates, and BCOO's
+        sortedness/uniqueness flags are unverified promises whose violation
+        is undefined behavior — so they are left False.  Call
+        ``sort_rows()`` and ``bcoo.sum_duplicates()`` when a downstream op
+        needs them set."""
         from jax.experimental import sparse as jsparse
 
         indices = jnp.stack(
@@ -300,8 +341,8 @@ class CSR:
         return jsparse.BCOO(
             (self._required_values(), indices),
             shape=(self.nrows, self.ncols),
-            indices_sorted=True,
-            unique_indices=True,
+            indices_sorted=False,
+            unique_indices=False,
         )
 
     # -- implicit-value helpers -------------------------------------------
@@ -330,10 +371,11 @@ class CSR:
         if ptr_dtype is None:
             ptr_dtype = ptr_dtype_
         if ptr_dtype:
-            info = np.iinfo(np.dtype(ptr_dtype))
-            if self.nnz > info.max:
+            np_ptr = np.dtype(ptr_dtype)
+            if self.nnz > np.iinfo(np_ptr).max:
                 raise ValueError(f"type {ptr_dtype} cannot address {self.nnz} entries")
-            rps = self.rowptrs.astype(ptr_dtype)
+            with dtypes.x64_scope(np_ptr.itemsize >= 8):
+                rps = self.rowptrs.astype(ptr_dtype)
         else:
             rps = self.rowptrs
 
@@ -442,6 +484,10 @@ class CSR:
         """
         from . import transform
 
+        if self.values is None:
+            # the reference fails with an untyped error here (its njit
+            # transform reads csr.values.dtype); make the contract explicit
+            raise ValueError("cannot normalize a structure-only matrix")
         if normalization == "center":
             vs, stats = transform.center_rows(self)
         elif normalization == "unit":
@@ -540,6 +586,40 @@ class CSR:
                 with releasing(K.to_handle(s), K) as h:
                     svs.append(K.mult_vec(h, v))
             return jnp.concatenate(svs)
+
+    def mult_vec_t(self, v):
+        """
+        Multiply the transpose of this matrix by a dense vector:
+        :math:`A^{T}\\vec{v}`.
+
+        A TPU-era extension of the reference API, which reaches the same
+        product via ``transpose().mult_vec(v)``
+        (reference: csr/kernels/numba/multiply.py:41-57); here the
+        transposed device layout is built once and cached, so repeated
+        calls run the tuned kernel directly.
+
+        Args:
+            v(array-like): a vector of length ``nrows``.
+
+        Returns:
+            jax.Array: :math:`A^{T}\\vec{v}`, length ``ncols``.
+        """
+        v = jnp.asarray(v)
+        assert v.shape == (self.nrows,)
+        K = get_kernel()
+        if self.nnz <= K.max_nnz:
+            with releasing(K.to_handle(self), K) as h:
+                return K.mult_vec_t(h, v)
+        # capacity path: row shards contribute partial column-space sums
+        shards = self._shard_rows(K.max_nnz)
+        out = None
+        off = 0
+        for s in shards:
+            with releasing(K.to_handle(s), K) as h:
+                part = K.mult_vec_t(h, v[off : off + s.nrows])
+            out = part if out is None else out + part
+            off += s.nrows
+        return out
 
     def mult_dense(self, b):
         """

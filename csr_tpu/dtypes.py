@@ -51,6 +51,24 @@ def big_int():
     return jnp.int64 if x64_enabled() else jnp.int32
 
 
+def x64_scope(needed: bool = True):
+    """Context manager permitting true int64 array creation.
+
+    JAX silently narrows int64 to int32 unless ``jax_enable_x64`` is set —
+    which would corrupt row pointers past INT32_MAX entries.  Wrapping the
+    (rare) conversions that genuinely need 64 bits in this scope creates
+    honest int64 arrays without flipping the global precision mode the way
+    the reference's dtype rules never had to (reference: csr/csr.py:88-93
+    promote unconditionally; numpy has no narrowing mode)."""
+    import contextlib
+
+    if needed and not x64_enabled():
+        import jax
+
+        return jax.enable_x64(True)
+    return contextlib.nullcontext()
+
+
 def default_value_dtype():
     """The dtype produced for implicit (structure-only) values.
 

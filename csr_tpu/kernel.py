@@ -18,4 +18,6 @@ order_columns = _kernel.order_columns
 mult_ab = _kernel.mult_ab
 mult_abt = _kernel.mult_abt
 mult_vec = _kernel.mult_vec
+mult_vec_t = _kernel.mult_vec_t
+mult_dense = _kernel.mult_dense
 max_nnz = _kernel.max_nnz

@@ -61,6 +61,13 @@ def mult_vec(A, v):
     return jnp.asarray(A @ np.asarray(v))
 
 
+def mult_vec_t(A, v):
+    """Transpose SpMV ``A^T @ v`` (TPU-era contract extension)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(A.T @ np.asarray(v))
+
+
 def mult_dense(A, B):
     """SpMM with a dense right-hand side (TPU-era contract extension)."""
     import jax.numpy as jnp

@@ -124,6 +124,24 @@ def transpose(nrows, ncols, rowptrs, colinds, values=None):
     return t_rps, t_cis, t_vls
 
 
+def transpose_host(nrows, ncols, rowptrs, colinds, values=None):
+    """CSR transpose on host arrays: native counting sort when the library
+    is available, a numpy stable argsort otherwise.  Always returns the
+    ``(t_rowptrs, t_colinds, t_values)`` triple (the TPU analog of the
+    reference's two-pass count-then-scatter, csr/structure.py:172-237)."""
+    t = transpose(nrows, ncols, rowptrs, colinds, values)
+    if t is not None:
+        return t
+    rp = np.asarray(rowptrs)
+    cis = np.asarray(colinds)
+    order = np.argsort(cis, kind="stable")
+    rids = np.repeat(np.arange(nrows, dtype=np.int32), np.diff(rp))
+    t_rps = np.zeros(ncols + 1, np.int64)
+    np.cumsum(np.bincount(cis, minlength=ncols), out=t_rps[1:])
+    t_vls = None if values is None else np.asarray(values)[order]
+    return t_rps, rids[order].astype(np.int32), t_vls
+
+
 def sort_rows(nrows, rowptrs, colinds, values=None):
     """Native in-place per-row column sort; mutates colinds/values.
     Returns True on success."""

@@ -126,17 +126,23 @@ class MicroBlockLayout:
         return m & ((1 << s) - 1), m >> s
 
 
-def estimate_microrows(rp, cols, window: int) -> int:
+def estimate_microrows(rp, cols, window: int, ncols: int | None = None) -> int:
     """Stripe-padded micro-row count a build at ``window`` columns would
-    produce (host, one sort — cheap relative to the build itself)."""
+    produce (host, one sort — cheap relative to the build itself).
+
+    ``ncols`` should be the matrix's true column count so the native
+    planner's rb/cb range check agrees with the actual build; it is
+    synthesized from ``max(cols)`` only when not provided."""
     nnz = int(len(cols))
     if nnz == 0:
         return 0
     rp = np.asarray(rp)
     nrows = len(rp) - 1
+    if ncols is None:
+        ncols = int(np.max(cols)) + 1
     from csr_tpu import native
 
-    m = native.plan_microrows(nrows, int(np.max(cols)) + 1, rp, cols, window)
+    m = native.plan_microrows(nrows, ncols, rp, cols, window)
     if m is not None:
         return m
     rids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(rp))
@@ -153,17 +159,17 @@ def estimate_microrows(rp, cols, window: int) -> int:
     return int((-(-stripe_mrs // 8) * 8).sum())
 
 
-def choose_window(rp, cols) -> int:
+def choose_window(rp, cols, ncols: int | None = None) -> int:
     """Pick the micro-row window width by cost model.
 
     With the unrolled kernel loops the 256-wide SpMV step costs ~1.5x the
     128-wide one (v5e, 10.7M nnz: 3.45 vs 5.13 us/step — the extra operand
     slices dominate the unrolled build loop), so it wins only when it
     removes >33% of the micro-rows."""
-    m128 = estimate_microrows(rp, cols, 128)
+    m128 = estimate_microrows(rp, cols, 128, ncols)
     if m128 == 0:
         return 128
-    m256 = estimate_microrows(rp, cols, 256)
+    m256 = estimate_microrows(rp, cols, 256, ncols)
     return 256 if m256 <= 0.67 * m128 else 128
 
 
@@ -201,7 +207,7 @@ def build_microblocks_host(
     """
     nnz = int(len(cols))
     if nnz and window is None:
-        window = choose_window(rp, cols)
+        window = choose_window(rp, cols, ncols)
     elif window is None:
         window = LANE
     assert window in (128, 256), window

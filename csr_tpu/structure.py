@@ -43,11 +43,16 @@ def _row_ids(rowptrs, nrows: int, nnz: int):
     """
     if nnz == 0:
         return jnp.zeros(0, dtype=jnp.int32)
-    pos = jnp.arange(nnz, dtype=rowptrs.dtype)
-    return (
-        jnp.searchsorted(rowptrs[1 : nrows + 1], pos, side="right")
-        .astype(jnp.int32)
-    )
+    from .dtypes import x64_scope
+
+    # entry positions past INT32_MAX require true int64 (x64_scope keeps
+    # the arange from silently narrowing when jax_enable_x64 is off)
+    with x64_scope(nnz > np.iinfo(np.int32).max):
+        pos = jnp.arange(nnz, dtype=rowptrs.dtype)
+        return (
+            jnp.searchsorted(rowptrs[1 : nrows + 1], pos, side="right")
+            .astype(jnp.int32)
+        )
 
 
 def row_ids_for(csr) -> jnp.ndarray:

@@ -77,3 +77,33 @@ def test_bcoo_roundtrip():
     np.testing.assert_allclose(
         np.asarray(bs.todense()), (m.toarray() != 0).astype(np.float32)
     )
+
+
+def test_to_bcoo_flags_honest():
+    """CSR permits unsorted in-row columns and duplicate coordinates, so
+    to_bcoo must not promise sorted/unique indices (they are undefined
+    behavior when violated)."""
+    from csr_tpu import CSR
+
+    # unsorted columns within the row, plus a duplicate coordinate
+    c = CSR.from_coo([0, 0, 0], [5, 2, 5], [1.0, 2.0, 3.0], (1, 8))
+    b = c.to_bcoo()
+    assert not b.indices_sorted
+    assert not b.unique_indices
+    # the duplicate still sums correctly when materialized
+    np.testing.assert_allclose(
+        np.asarray(b.todense()), to_dense(c), rtol=1e-6
+    )
+
+
+def test_from_bcoo_rejects_batched():
+    import jax.numpy as jnp
+    import pytest
+    from jax.experimental import sparse as jsparse
+
+    from csr_tpu import CSR
+
+    dense = jnp.asarray(np.eye(4, dtype=np.float32))
+    batched = jsparse.BCOO.fromdense(dense, n_batch=1)
+    with pytest.raises(AssertionError):
+        CSR.from_bcoo(batched)

@@ -61,3 +61,13 @@ def test_pallas_layout_cache_and_invalidation():
         y3 = np.asarray(csr.mult_vec(x))
         assert csr._mb_layout_cache[3] is not lay1
         np.testing.assert_allclose(y3, m @ x, rtol=1e-4, atol=1e-4)
+
+        # explicit memory reclamation: drop_cache clears the matrix-side
+        # cache (the analog of the reference's eager MKL handle free,
+        # reference: csr/kernels/mkl/handle.py:144-148)
+        h = pk.to_handle(csr)
+        assert h.layout is not None
+        pk.release_handle(h, drop_cache=True)
+        assert csr._mb_layout_cache is None
+        y4 = np.asarray(csr.mult_vec(x))  # rebuilds transparently
+        np.testing.assert_allclose(y4, y3)
