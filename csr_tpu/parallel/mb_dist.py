@@ -103,7 +103,7 @@ def partition_microblocks(
     # round the padded shard height to whole row windows
     rows_per = -(-rows_per // mb.LANE) * mb.LANE
     if window is None:
-        window = mb.choose_window(rp, cis) if csr.nnz else mb.LANE
+        window = mb.choose_window(rp, cis, csr.ncols) if csr.nnz else mb.LANE
 
     layouts = []
     for d in range(n_shards):
@@ -204,6 +204,174 @@ def spmv_halo(dmb: DistMicroBlock, x_sharded, mesh: Mesh, axis: str = "rows",
         return y.reshape(1, rb * mb.LANE)[:, :rows_per]
 
     return _run(dmb.vals, dmb.meta, dmb.rbcb, x_sharded)
+
+
+@dataclass
+class DistMicroBlockT:
+    """Transposed row shards for distributed ``A^T @ y``.
+
+    Device ``d`` holds the micro-block layout of ``(A_d)^T`` where ``A_d``
+    is row shard ``d`` of A — the distributed generalization of the
+    reference's transpose-then-multiply structure
+    (reference: csr/kernels/numba/multiply.py:41-57).  Each device's local
+    product covers the FULL column space (its shard's contribution), so
+    results combine with one ``psum`` (replicated output) or
+    ``psum_scatter`` (column-sharded output) over ICI — never a dense
+    scatter-add over the column space.
+    """
+
+    nrows: int
+    ncols: int
+    nnz: int
+    n_shards: int
+    rows_per_shard: int  # padded local OPERAND length (uniform, lane-aligned)
+    window: int
+    vals: jax.Array  # (D, M, 128) f32
+    meta: jax.Array  # (D, M, 128) u16
+    rbcb: jax.Array  # (D, M) i32
+    row_offset: np.ndarray  # (D,) host
+    nrows_local: np.ndarray  # (D,) host
+
+    @property
+    def rb_count(self) -> int:
+        """Output row windows: the full column space of A."""
+        return max(-(-self.ncols // mb.LANE), 1)
+
+    @property
+    def cb_count(self) -> int:
+        """Per-device operand vregs (covers the local row shard of A)."""
+        wb = self.window // mb.LANE
+        return max(wb * -(-self.rows_per_shard // self.window), 1)
+
+    @property
+    def nbytes(self) -> int:
+        return self.vals.nbytes + self.meta.nbytes + self.rbcb.nbytes
+
+    def shard(self, mesh: Mesh, axis: str = "rows") -> "DistMicroBlockT":
+        sh = NamedSharding(mesh, P(axis))
+        return DistMicroBlockT(
+            self.nrows, self.ncols, self.nnz, self.n_shards,
+            self.rows_per_shard, self.window,
+            jax.device_put(self.vals, sh),
+            jax.device_put(self.meta, sh),
+            jax.device_put(self.rbcb, sh),
+            self.row_offset, self.nrows_local,
+        )
+
+
+def partition_microblocks_t(
+    csr, n_shards: int, *, window: int | None = None
+) -> DistMicroBlockT:
+    """Row-partition A (nnz-balanced), transpose each shard on the host
+    (native C++ counting sort when available), and micro-block-pack the
+    transposes.  One window width serves all shards so every device runs
+    the same kernel variant."""
+    from csr_tpu import native
+
+    rp = np.asarray(csr.rowptrs)
+    cis = np.asarray(csr.colinds)
+    vls = (
+        np.ones(csr.nnz, np.float32)
+        if csr.values is None
+        else np.asarray(csr.values, dtype=np.float32)
+    )
+    splits = balanced_row_splits(rp, n_shards)
+    rows_per = max(int(np.max(np.diff(splits))), 1)
+    rows_per = -(-rows_per // mb.LANE) * mb.LANE
+
+    shard_t = []
+    for d in range(n_shards):
+        r0, r1 = int(splits[d]), int(splits[d + 1])
+        s0, s1 = int(rp[r0]), int(rp[r1])
+        lrp = (rp[r0 : r1 + 1] - rp[r0]).astype(np.int64)
+        t_rps, t_cis, t_vls = native.transpose_host(
+            r1 - r0, csr.ncols, lrp, cis[s0:s1], vls[s0:s1]
+        )
+        shard_t.append((t_rps, t_cis, t_vls))
+
+    if window is None:
+        # uniform width: 256 only when every shard's cost model picks it
+        window = 256 if csr.nnz and all(
+            mb.choose_window(t[0], t[1], rows_per) == 256 for t in shard_t
+        ) else mb.LANE
+
+    layouts = [
+        mb.build_microblocks_host(
+            csr.ncols, rows_per, t_rps, t_cis, t_vls, window=window
+        )
+        for t_rps, t_cis, t_vls in shard_t
+    ]
+
+    m_pad = max(l.vals.shape[0] for l in layouts)
+    vals = np.zeros((n_shards, m_pad, mb.LANE), np.float32)
+    meta = np.zeros((n_shards, m_pad, mb.LANE), np.uint16)
+    rbcb = np.zeros((n_shards, m_pad), np.int32)
+    for d, l in enumerate(layouts):
+        m = l.vals.shape[0]
+        vals[d, :m] = np.asarray(l.vals)
+        meta[d, :m] = np.asarray(l.meta)
+        rbcb[d, :m] = np.asarray(l.rbcb)
+
+    return DistMicroBlockT(
+        csr.nrows, csr.ncols, csr.nnz, n_shards, rows_per, window,
+        jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
+        splits[:-1].astype(np.int64), np.diff(splits).astype(np.int64),
+    )
+
+
+def spmv_t(dmbt: DistMicroBlockT, y_sharded, mesh: Mesh, axis: str = "rows",
+           *, interpret: bool = False, scatter: bool = False):
+    """``x = A^T @ y`` on the Pallas micro-block kernel per device.
+
+    ``y_sharded`` is (D, rows_per_shard) row-sharded (e.g. the output of
+    :func:`spmv`).  Each device multiplies its transposed shard by its
+    local y slice — a full-column-space partial — and the partials reduce
+    with ``psum`` (returns the replicated dense vector of length ncols) or,
+    with ``scatter=True``, ``psum_scatter`` (returns (D, ncols_pad/D)
+    column-sharded, the weak-scaling form that keeps per-device output
+    HBM at 1/D).
+    """
+    cb = dmbt.cb_count
+    rb = dmbt.rb_count
+    m_pad = dmbt.vals.shape[1]
+    wb = dmbt.window // mb.LANE
+    pad_to = cb * mb.LANE
+    out_pad = rb * mb.LANE
+    D = dmbt.n_shards
+    # psum_scatter needs the scattered axis divisible by D
+    out_scat = -(-out_pad // (D * mb.LANE)) * (D * mb.LANE)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis) if scatter else P(),
+        check_vma=False,
+    )
+    def _run(vals, meta, rbcb, y_part):
+        yv = y_part.reshape(-1)
+        xp = jnp.zeros((pad_to,), jnp.float32).at[: yv.shape[0]].set(yv)
+        out = spmv_op._spmv_call(
+            vals[0], meta[0], rbcb[0], xp.reshape(cb, mb.LANE),
+            m_pad, rb, cb, interpret, wb=wb,
+        ).reshape(-1)
+        if scatter:
+            part = jnp.zeros((out_scat,), jnp.float32).at[:out_pad].set(out)
+            return jax.lax.psum_scatter(
+                part.reshape(D, out_scat // D), axis, scatter_dimension=0,
+                tiled=True,
+            ).reshape(1, out_scat // D)
+        return jax.lax.psum(out, axis)
+
+    out = _run(dmbt.vals, dmbt.meta, dmbt.rbcb, y_sharded)
+    if scatter:
+        return out
+    return out[: dmbt.ncols]
+
+
+def collect_cols_t(dmbt: DistMicroBlockT, x_scattered):
+    """Assemble the dense ``A^T y`` result from the ``scatter=True`` form
+    of :func:`spmv_t` (column-sharded partials)."""
+    return jnp.asarray(x_scattered).reshape(-1)[: dmbt.ncols]
 
 
 def scatter_x(dmb: DistMicroBlock, x, mesh: Mesh, axis: str = "rows"):

@@ -63,7 +63,7 @@ class DistCSR:
     def shard(self, mesh: Mesh, axis: str = "rows") -> "DistCSR":
         """Lay the shard axis out over ``mesh[axis]``."""
         sh = NamedSharding(mesh, P(axis))
-        rep = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())  # aux metadata replicated
         return DistCSR(
             self.nrows, self.ncols, self.nnz, self.n_shards,
             self.rows_per_shard, self.nnz_per_shard,

@@ -131,15 +131,13 @@ def spmv_ring(rcsr: RingCSR, x_sharded, mesh: Mesh, axis: str = "rows"):
             held = (me + k) % D
             # overlap: next shard starts moving while we compute on x_cur
             x_next = jax.lax.ppermute(x_cur, axis, perm)
-            contrib = jax.lax.switch(
-                held,
-                [
-                    (lambda kk: (lambda xc: jax.ops.segment_sum(
-                        vl[0, kk] * xc[ci[0, kk]], ri[0, kk],
-                        num_segments=rcsr.rows_per_shard + 1)))(kk)
-                    for kk in range(D)
-                ],
-                x_cur,
+            # one dynamic bucket index — compile cost independent of D
+            # (a lax.switch fan here compiles D full segment-sum branches)
+            cb = jax.lax.dynamic_index_in_dim(ci[0], held, keepdims=False)
+            vb = jax.lax.dynamic_index_in_dim(vl[0], held, keepdims=False)
+            rb = jax.lax.dynamic_index_in_dim(ri[0], held, keepdims=False)
+            contrib = jax.ops.segment_sum(
+                vb * x_cur[cb], rb, num_segments=rcsr.rows_per_shard + 1
             )
             return (x_next, acc + contrib[: rcsr.rows_per_shard])
 

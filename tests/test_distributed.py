@@ -16,7 +16,7 @@ import hypothesis.strategies as st
 from csr_tpu.parallel import dist
 from csr_tpu.parallel.partition import balanced_row_splits, make_mesh, partition_rows
 from csr_tpu.test_utils import csrs
-from util import to_dense
+from util import assert_spmv_close, to_dense
 
 needs_devices = pytest.mark.skipif(
     len(jax.devices()) < 2, reason="needs a multi-device mesh"
@@ -71,8 +71,8 @@ def test_dist_spmv(data):
     x = np.asarray(x, np.float32)
     y = dist.spmv(d, jnp.asarray(x), mesh)
     yg = np.asarray(dist.collect_rows(d, y))
-    ref = to_dense(csr).astype(np.float32) @ x
-    np.testing.assert_allclose(yg, ref, rtol=1e-4, atol=1e-3)
+    ref = to_dense(csr).astype(np.float64) @ x.astype(np.float64)
+    assert_spmv_close(yg, ref, csr, x)
 
 
 @needs_devices
@@ -196,5 +196,71 @@ def test_dist_microblock_property(data):
     x = np.asarray(x, np.float32)
     y = mb_dist.spmv(dmb, x, mesh, interpret=True)
     yg = np.asarray(mb_dist.collect_rows(dmb, y))
-    ref = to_dense(csr).astype(np.float32) @ x
-    np.testing.assert_allclose(yg, ref, rtol=1e-4, atol=1e-3)
+    ref = to_dense(csr).astype(np.float64) @ x.astype(np.float64)
+    assert_spmv_close(yg, ref, csr, x)
+
+
+@needs_devices
+def test_dist_microblock_spmv_t():
+    """Distributed transpose SpMV on the Pallas kernel: per-device
+    transposed shards + psum / psum_scatter (no dense scatter-add over
+    the column space)."""
+    import scipy.sparse as sps
+
+    from csr_tpu import CSR
+    from csr_tpu.parallel import mb_dist
+
+    rng = np.random.default_rng(13)
+    m = sps.random(700, 500, 0.05, format="csr", random_state=rng,
+                   dtype=np.float32)
+    csr = CSR.from_scipy(m)
+    n = min(len(jax.devices()), 8)
+    mesh = make_mesh(n)
+    dmb = mb_dist.partition_microblocks(csr, n).shard(mesh)
+    dmbt = mb_dist.partition_microblocks_t(csr, n).shard(mesh)
+    assert dmbt.rows_per_shard == dmb.rows_per_shard
+
+    x = rng.standard_normal(500).astype(np.float32)
+    y = mb_dist.spmv(dmb, x, mesh, interpret=True)  # (D, rows_per) sharded
+    ref_y = m @ x
+    ref = m.T @ ref_y
+
+    xt = np.asarray(mb_dist.spmv_t(dmbt, y, mesh, interpret=True))
+    np.testing.assert_allclose(xt, ref, rtol=1e-4, atol=1e-3)
+
+    xs = mb_dist.spmv_t(dmbt, y, mesh, interpret=True, scatter=True)
+    xsg = np.asarray(mb_dist.collect_cols_t(dmbt, xs))
+    np.testing.assert_allclose(xsg, ref, rtol=1e-4, atol=1e-3)
+
+
+@needs_devices
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_dist_microblock_t_property(data):
+    """Property-based parity of the distributed transpose micro-block
+    SpMV (structure-only matrices included)."""
+    from csr_tpu.parallel import mb_dist
+
+    csr = data.draw(csrs(nrows=st.integers(8, 60)))
+    n = min(len(jax.devices()), 8)
+    mesh = make_mesh(n)
+    dmb = mb_dist.partition_microblocks(csr, n).shard(mesh)
+    dmbt = mb_dist.partition_microblocks_t(csr, n).shard(mesh)
+    y = data.draw(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, width=32),
+            min_size=csr.nrows, max_size=csr.nrows,
+        )
+    )
+    y = np.asarray(y, np.float32)
+    # feed y through the row-sharded layout's padding scheme
+    ypad = np.zeros((n, dmb.rows_per_shard), np.float32)
+    off = dmb.row_offset
+    for d in range(n):
+        nl = int(dmb.nrows_local[d])
+        ypad[d, :nl] = y[int(off[d]) : int(off[d]) + nl]
+    xt = np.asarray(
+        mb_dist.spmv_t(dmbt, jnp.asarray(ypad), mesh, interpret=True)
+    )
+    ref = to_dense(csr).astype(np.float64).T @ y.astype(np.float64)
+    assert_spmv_close(xt, ref, csr.transpose(), y)

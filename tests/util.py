@@ -23,6 +23,40 @@ def to_dense(csr):
     return csr.to_scipy().toarray()
 
 
+def assert_spmv_close(y, ref, csr, x, rtol=1e-4, eps_mult=128):
+    """SpMV comparison with an accumulation-aware f32 error bound.
+
+    A fixed atol fails on catastrophic cancellation: a row of terms with
+    magnitude ~1e4 summing to ~1 carries an f32 error of ~1e4 * eps no
+    matter how it is computed.  The error is bounded per row by an L1
+    norm of contributions — but not the row's OWN L1 alone: the
+    micro-block kernel computes row sums as differences of prefix sums
+    over 128-entry micro-rows that pack SEVERAL rows of one aligned
+    128-row window, so a row's error scales with the L1 mass of its
+    whole window (observed: ~100 eps * window-L1 on adversarial
+    hypothesis draws).  Use a sliding 128-row window sum, which upper
+    bounds any alignment (including per-shard rebased windows in the
+    distributed layouts)."""
+    row_l1 = np.abs(to_dense(csr)).astype(np.float64) @ np.abs(
+        np.asarray(x, np.float64)
+    )
+    # win_l1[r] = sum of row_l1 over [r-127, r+127]: an upper bound on the
+    # L1 of every 128-row window containing row r, any alignment
+    cum = np.concatenate([[0.0], np.cumsum(row_l1)])
+    n = len(row_l1)
+    idx = np.arange(n)
+    win_l1 = cum[np.minimum(idx + 128, n)] - cum[np.maximum(idx - 127, 0)]
+    eps = float(np.finfo(np.float32).eps)
+    ref = np.asarray(ref, np.float64)
+    tol = rtol * np.abs(ref) + eps_mult * eps * win_l1 + 1e-6
+    err = np.abs(np.asarray(y, np.float64) - ref)
+    bad = err > tol
+    assert not np.any(bad), (
+        f"SpMV mismatch at rows {np.flatnonzero(bad)[:10]}: "
+        f"err={err[bad][:10]} tol={tol[bad][:10]}"
+    )
+
+
 def assert_csr_close(actual, expect_dense, **kw):
     a = to_dense(actual)
     np.testing.assert_allclose(a, expect_dense, **kw)
