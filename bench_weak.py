@@ -24,12 +24,13 @@ from functools import partial
 import numpy as np
 
 
-def run(n_devices: int, rows_per_device: int, npr: int, k: int, reps: int):
+def run(n_devices: int, rows_per_device: int, npr: int, k: int, reps: int,
+        ring: bool = False):
     import jax
     import jax.numpy as jnp
 
     from csr_tpu import CSR
-    from csr_tpu.parallel import mb_dist
+    from csr_tpu.parallel import mb_dist, mb_ring
     from csr_tpu.parallel.partition import make_mesh
 
     interpret = jax.default_backend() == "cpu"
@@ -42,16 +43,30 @@ def run(n_devices: int, rows_per_device: int, npr: int, k: int, reps: int):
     csr = CSR(nrows, ncols, nnz, rowptr, cols, vals)
 
     mesh = make_mesh(n_devices)
-    dmb = mb_dist.partition_microblocks(csr, n_devices).shard(mesh)
-    assert dmb.rows_per_shard == dmb.cols_per_shard, (
-        "square uniform weak-scaling workload must tile evenly"
-    )
-    x = rng.standard_normal(ncols).astype(np.float32)
-    xs = mb_dist.scatter_x(dmb, x, mesh)
+    if ring:
+        # ring schedule: per-step ppermute of the operand shard overlapped
+        # with the held bucket's Pallas kernel (csr_tpu/parallel/mb_ring.py)
+        rmb = mb_ring.partition_ring_mb(csr, n_devices).shard(mesh)
+        assert rmb.rows_per_shard == rmb.cols_per_shard or n_devices == 1
 
-    def step(xv):
-        y = mb_dist.spmv_halo(dmb, xv, mesh, interpret=interpret)
-        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+        def step(xv):
+            y = mb_ring.spmv_ring_mb(rmb, xv, mesh, interpret=interpret)
+            y = y[:, : rmb.cols_per_shard]
+            return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+
+        x = rng.standard_normal(ncols).astype(np.float32)
+        xs = mb_ring.scatter_x(rmb, x, mesh)
+    else:
+        dmb = mb_dist.partition_microblocks(csr, n_devices).shard(mesh)
+        assert dmb.rows_per_shard == dmb.cols_per_shard, (
+            "square uniform weak-scaling workload must tile evenly"
+        )
+        x = rng.standard_normal(ncols).astype(np.float32)
+        xs = mb_dist.scatter_x(dmb, x, mesh)
+
+        def step(xv):
+            y = mb_dist.spmv_halo(dmb, xv, mesh, interpret=interpret)
+            return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
 
     @partial(jax.jit, static_argnames="k")
     def chain(x0, k):
@@ -80,6 +95,8 @@ def main():
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--max-devices", type=int, default=None)
+    ap.add_argument("--ring", action="store_true",
+                    help="ring schedule (ppermute overlap) instead of halo")
     args = ap.parse_args()
 
     on_cpu = jax.default_backend() == "cpu"
@@ -95,12 +112,13 @@ def main():
     d = 1
     while d <= n_dev:
         nnz, dt = run(d, args.rows_per_device, args.nnz_per_row,
-                      args.iters, args.reps)
+                      args.iters, args.reps, ring=args.ring)
         rate = nnz / dt / 1e9
         if base_rate is None:
             base_rate = rate
         print(json.dumps({
-            "group": "WeakScaling", "devices": d, "nnz": nnz,
+            "group": "WeakScaling-Ring" if args.ring else "WeakScaling",
+            "devices": d, "nnz": nnz,
             "ms_per_iter": round(dt * 1e3, 3),
             "gnnz_per_s": round(rate, 3),
             "efficiency": round(rate / (base_rate * d), 4),

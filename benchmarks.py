@@ -7,11 +7,19 @@ Prints one JSON line per (group, kernel, param) with ms/op.  These are
 end-to-end API timings (including handle creation), complementary to the
 roofline-focused `bench.py`.
 
-Usage: python benchmarks.py [--kernels scipy,xla,pallas] [--fast]
+``--save`` additionally appends the run (with git revision, backend, and
+timestamp metadata) to ``bench_history/`` — the saved-run comparison
+workflow the reference gets from pytest-benchmark autosave
+(reference: pytest.ini:7, Timings.py:19-39).  Compare runs with
+``python timings_report.py --compare``.
+
+Usage: python benchmarks.py [--kernels scipy,xla,pallas] [--fast] [--save]
 """
 
 import argparse
 import json
+import os
+import subprocess
 import time
 
 import numpy as np
@@ -19,6 +27,11 @@ import scipy.sparse as sps
 
 from csr_tpu import CSR
 from csr_tpu.kernels import use_kernel
+
+HISTORY_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_history")
+
+_results = []
 
 
 def make_csr(nrows, ncols, density, rng):
@@ -48,14 +61,46 @@ def timeit(fn, min_repeat=3, max_time=2.0):
 
 
 def report(group, kernel, param, ms):
-    print(json.dumps({"group": group, "kernel": kernel, "param": param,
-                      "ms_per_op": round(ms, 4)}))
+    row = {"group": group, "kernel": kernel, "param": param,
+           "ms_per_op": round(ms, 4)}
+    _results.append(row)
+    print(json.dumps(row))
+
+
+def save_history(results):
+    """Append this run to bench_history/ (git rev + backend + timestamp)."""
+    import jax
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(HISTORY_DIR),
+        ).stdout.strip() or "unknown"
+    except OSError:
+        rev = "unknown"
+    ts = time.strftime("%Y%m%dT%H%M%S")
+    os.makedirs(HISTORY_DIR, exist_ok=True)
+    path = os.path.join(HISTORY_DIR, f"{ts}-{rev}.json")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "timestamp": ts,
+                "git_rev": rev,
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "results": results,
+            },
+            f, indent=1,
+        )
+    print(f"# saved {len(results)} results to {path}")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", default="scipy,xla,pallas")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--save", action="store_true",
+                    help="append this run to bench_history/")
     args = ap.parse_args()
     kernels = args.kernels.split(",")
     rng = np.random.default_rng(42)
@@ -90,6 +135,9 @@ def main():
         for k in kernels:
             with use_kernel(k):
                 report("MultAB-Size", k, size, timeit(lambda: As.multiply(Bs)))
+
+    if args.save:
+        save_history(_results)
 
 
 if __name__ == "__main__":
