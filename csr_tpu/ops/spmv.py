@@ -162,6 +162,51 @@ def _spmv_call(
     )(rbcb, vals, meta, x_pad)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("m_pad", "rb_count", "cb_count", "wb", "interpret")
+)
+def _spmv_call_bucket(
+    vals, meta, rbcb, x_pad, held, m_pad: int, rb_count: int, cb_count: int,
+    interpret: bool, wb: int = 1,
+):
+    """SpMV over ONE bucket of stacked micro-block layouts.
+
+    ``vals``/``meta`` are (B, M, 128), ``rbcb`` is (B, M); ``held`` (a
+    length-1 i32 array) selects the bucket.  The bucket index rides the
+    scalar-prefetch channel so the block index maps stream only the
+    selected bucket's blocks from HBM — no gather/copy of the bucket
+    materializes (the TPU-idiomatic alternative to a ``lax.switch`` fan
+    or a dynamic-slice copy).  Used by the ring schedule
+    (:mod:`csr_tpu.parallel.mb_ring`), where the bucket is the column
+    shard currently held."""
+    n_steps = m_pad // MR_BLOCK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((None, MR_BLOCK), lambda i, h: (h[0], i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, MR_BLOCK, LANE), lambda i, h: (h[0], i, 0)),
+            pl.BlockSpec((None, MR_BLOCK, LANE), lambda i, h: (h[0], i, 0)),
+            pl.BlockSpec((cb_count, LANE), lambda i, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rb_count, LANE), lambda i, h: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.float32)] * wb,
+    )
+    return pl.pallas_call(
+        functools.partial(_spmv_kernel, wb=wb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rb_count, LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * LANE * LANE,
+            bytes_accessed=m_pad * LANE * 6 + cb_count * LANE * 4
+            + rb_count * LANE * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(held, rbcb, vals, meta, x_pad)
+
+
 def spmv(layout: MicroBlockLayout, x, *, interpret: bool = False):
     """Compute ``A @ x`` for a micro-block matrix.  Returns float32."""
     cb_count = max(layout.cb_count, 1)
