@@ -14,7 +14,7 @@ Methodology: K SpMV iterations chained inside one jitted ``fori_loop``
 ``block_until_ready`` timing is unreliable through remote-tunnel TPU
 runtimes, chained execution is not.  Bytes counted are the bytes the
 kernel actually streams from HBM per iteration: the micro-block arrays
-(6 B per padded slot) plus the dense operand and output.
+(6 B per padded slot); the dense operand and output stay VMEM-resident.
 """
 
 import json
@@ -111,10 +111,11 @@ def main():
         dt = min(dt, (time.perf_counter() - t0) / K)
         assert np.isfinite(s)
 
-    # bytes actually streamed per iteration
+    # bytes actually streamed from HBM per iteration: the micro-block
+    # arrays only — the operand and output stay VMEM-resident across the
+    # whole kernel (counting them would flatter GB/s by ~0.3%)
     stream = layout.nbytes
-    resident = x_pad.nbytes + rb_count * 128 * 4
-    gbps = (stream + resident) / dt / 1e9
+    gbps = stream / dt / 1e9
     peak = detect_peak_gbps() if not on_cpu else 100.0
     result = {
         "metric": "spmv_gbps",

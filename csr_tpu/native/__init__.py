@@ -168,13 +168,14 @@ def _mb_bind(lib):
     f32p = ctypes.POINTER(ctypes.c_float)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.csrt_mb_plan.restype = i64
-    lib.csrt_mb_plan.argtypes = [i64, i64, i64, i64p, i32p, i64]
+    lib.csrt_mb_plan.argtypes = [i64, i64, i64, i64p, i32p, i64, i64]
     lib.csrt_mb_fill.restype = i64
     lib.csrt_mb_fill.argtypes = [i64, i64, i64, i64p, i32p, f32p, i64, i64,
-                                 f32p, u16p, i32p]
+                                 i64, f32p, u16p, i32p]
 
 
-def plan_microrows(nrows, ncols, rowptrs, cols, window: int):
+def plan_microrows(nrows, ncols, rowptrs, cols, window: int,
+                   pad_mult: int):
     """Native micro-row count for a given window width (for the window
     chooser), or None when the native library is unavailable."""
     lib = get_lib()
@@ -185,13 +186,13 @@ def plan_microrows(nrows, ncols, rowptrs, cols, window: int):
     cols = np.ascontiguousarray(cols, np.int32)
     m = lib.csrt_mb_plan(
         len(cols), nrows, ncols, _i64p(rowptrs), _i32p(cols),
-        int(window).bit_length() - 1,
+        int(window).bit_length() - 1, pad_mult,
     )
     return None if m < 0 else int(m)
 
 
 def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int,
-                      window: int = 128):
+                      window: int, pad_mult: int):
     """Native micro-block layout build (see csr_host.cpp csrt_mb_*).
 
     Returns ``(vals, meta, rbcb, m)`` numpy arrays with ``m_pad`` rows
@@ -205,7 +206,8 @@ def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int,
     cols = np.ascontiguousarray(cols, np.int32)
     nnz = len(cols)
     cshift = int(window).bit_length() - 1
-    m = lib.csrt_mb_plan(nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), cshift)
+    m = lib.csrt_mb_plan(nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols),
+                         cshift, pad_mult)
     if m < 0:
         return None
     m_pad = -(-max(int(m), 1) // m_round) * m_round
@@ -218,7 +220,8 @@ def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int,
     else:
         vp = None
     m2 = lib.csrt_mb_fill(
-        nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), vp, cshift, m_pad,
+        nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), vp, cshift, pad_mult,
+        m_pad,
         _fp(vals), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         _i32p(rbcb),
     )

@@ -206,8 +206,8 @@ extern "C" void csrt_row_ids(int64_t nrows, const int64_t* rowptrs, int32_t* out
 // Entries are reordered to lexicographic (rb, cb, row) order — two stable
 // LSD counting-sort passes over the already-row-major CSR entries — then
 // packed into 128-slot micro-rows per (rb, cb) group, with each stripe
-// (run of one rb) padded to a multiple of 8 micro-rows so every vector
-// register of micro-rows has a uniform row window.
+// (run of one rb) padded to a multiple of pad_mult micro-rows so every
+// aligned pad_mult-row accumulation group has a uniform row window.
 //
 // The column window width is parameterized (cshift = 7 for 128-wide
 // windows, 8 for the 256-wide double-window layout; see
@@ -273,16 +273,20 @@ static bool mb_sort(int64_t nnz, int64_t nrows, int64_t ncols,
 
 // Walk (rb, cb) groups in sorted order.  Calls group_fn(start, size, rb)
 // for each group and returns total micro-rows incl. per-stripe padding.
+// pad_mult is the stripe padding multiple (a power of two): the SpMV
+// kernel accumulates pad_mult micro-rows per output read-modify-write, so
+// every aligned pad_mult-row group must share one row window.
 template <typename F>
 static int64_t mb_walk(int64_t nnz, const MbSorted& s, int64_t cshift,
-                       F&& group_fn) {
+                       int64_t pad_mult, F&& group_fn) {
+  const int64_t pmask = pad_mult - 1;
   int64_t m = 0;
   int64_t i = 0;
   int32_t cur_rb = -1;
   while (i < nnz) {
     int32_t rb = s.rid[i] >> 7, cb = s.col[i] >> cshift;
     if (rb != cur_rb) {
-      m = (m + 7) & ~int64_t(7);  // close previous stripe: pad to 8
+      m = (m + pmask) & ~pmask;  // close previous stripe
       cur_rb = rb;
     }
     int64_t j = i;
@@ -291,22 +295,23 @@ static int64_t mb_walk(int64_t nnz, const MbSorted& s, int64_t cshift,
     m += (j - i + 127) >> 7;
     i = j;
   }
-  return (m + 7) & ~int64_t(7);
+  return (m + pmask) & ~pmask;
 }
 
 }  // namespace
 
 extern "C" int64_t csrt_mb_plan(int64_t nnz, int64_t nrows, int64_t ncols,
                                 const int64_t* rowptrs, const int32_t* cols,
-                                int64_t cshift) {
+                                int64_t cshift, int64_t pad_mult) {
   MbSorted s;
   if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, nullptr, cshift, s)) return -1;
-  return mb_walk(nnz, s, cshift, [](int64_t, int64_t, int64_t) {});
+  return mb_walk(nnz, s, cshift, pad_mult, [](int64_t, int64_t, int64_t) {});
 }
 
 extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
                                 const int64_t* rowptrs, const int32_t* cols,
                                 const float* vals, int64_t cshift,
+                                int64_t pad_mult,
                                 int64_t m_pad, float* out_vals,
                                 uint16_t* out_meta, int32_t* out_rbcb) {
   MbSorted s;
@@ -315,7 +320,7 @@ extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
   const int e_shift = (cshift == 7) ? 7 : 8;
 
   // caller supplies zeroed arrays of m_pad micro-rows
-  int64_t m = mb_walk(nnz, s, cshift,
+  int64_t m = mb_walk(nnz, s, cshift, pad_mult,
                       [&](int64_t start, int64_t size, int64_t mr0) {
     int32_t rb = s.rid[start] >> 7, cb = s.col[start] >> cshift;
     int64_t mrs = (size + 127) >> 7;
@@ -342,7 +347,8 @@ extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
   // walk again to stamp rbcb on the gaps, then extend the final rb to m_pad
   int64_t cursor = 0;
   int32_t last_rb = 0;
-  mb_walk(nnz, s, cshift, [&](int64_t start, int64_t size, int64_t mr0) {
+  mb_walk(nnz, s, cshift, pad_mult,
+          [&](int64_t start, int64_t size, int64_t mr0) {
     int32_t rb = s.rid[start] >> 7;
     for (; cursor < mr0; ++cursor) out_rbcb[cursor] = last_rb << 16;
     cursor = mr0 + ((size + 127) >> 7);

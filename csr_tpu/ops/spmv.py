@@ -13,22 +13,29 @@ of which are full-block vector/matrix ops (no per-element work):
 2. **gather**: one full-block ``dynamic_gather``
    (``take_along_axis`` along lanes) picks each entry's operand value,
    then multiplies by the stored values;
-3. **per-row sums**: an *MXU* prefix-sum — ``p @ U`` with U the constant
-   upper-triangular ones matrix — followed by one gather at the
-   precomputed row-boundary prefix counts (``epos``) and a difference.
-   The matmul formulation matters: lane-wise shift cumsums cost ~11 ms at
-   10M nnz on v5e because lane rotates are expensive; the MXU does the
-   same reduction almost for free.  ``Precision.HIGHEST`` keeps the
-   prefix sums f32-accurate (the default bf16 passes lose ~1e-3);
-4. **output accumulation** (per-vreg loop): each micro-row's dense
-   128-row window is added into the output, which stays resident in VMEM
-   for the whole kernel (constant output block).
+3. **cumulative row sums**: an *MXU* prefix-sum — ``p @ U`` with U the
+   constant upper-triangular ones matrix — followed by one gather at the
+   precomputed row-boundary prefix counts (``epos``), giving ``H[mr, r]``
+   = sum of the micro-row's entries in window-rows ``<= r``.  The matmul
+   formulation matters: lane-wise shift cumsums cost ~11 ms at 10M nnz on
+   v5e because lane rotates are expensive; the MXU does the same
+   reduction almost for free.  ``Precision.HIGHEST`` keeps the prefix
+   sums f32-accurate (the default bf16 passes lose ~1e-3);
+4. **output accumulation**: the CUMULATIVE ``H`` is accumulated directly
+   — ``ACC_GROUP`` micro-rows (one stripe-padding group, uniform row
+   window) per read-modify-write, straight off the value with no scratch
+   round-trip.  The per-row difference ``H[r] - H[r-1]`` commutes with
+   all this summation, so it is **deferred to one lane-roll pass over the
+   output at the last grid step** instead of a per-step roll chain
+   (lane rolls are expensive; this was 25% of the old step cost).
 
-Measured on TPU v5e at 10.7M nnz (d=0.01): 2.05 ms/iter -> 5.2 Gnnz/s,
-~75x over XLA's native gather+segment_sum SpMV (155 ms).  The kernel is
-compute-bound (full ablation in docs/perf.md): DMA overlaps completely,
-and the u16-packed metadata stream (6 B/slot with values) halves both
-HBM traffic and handle memory.
+Measured on TPU v5e at 10.7M nnz (d=0.01): 0.380 ms/iter -> 28.2 Gnnz/s,
+~410x over XLA's native gather+segment_sum SpMV (155 ms).  Established by
+ablation (docs/perf.md): DMA overlaps completely, u16-packed metadata
+(6 B/slot) halves stream bytes, MR_BLOCK=2048 amortizes per-step fixed
+costs (4096 exceeds the 16 MB scoped-VMEM limit), ACC_GROUP=32 with
+value-direct accumulation removes 3/4 of the output RMWs, and the
+deferred difference removes the per-step roll.
 
 Correctness replaces reference csr/kernels/numba/__init__.py:55-67 (flat
 nnz loop) and csr/kernels/mkl (mkl_sparse_d_mv).
@@ -43,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .microblock import LANE, MR_BLOCK, MicroBlockLayout
+from .microblock import ACC_GROUP, LANE, MR_BLOCK, MicroBlockLayout
 
 _VREGS = MR_BLOCK // 8  # vector registers of micro-rows per grid step
 
@@ -98,7 +105,11 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
         g = jnp.where(lo < 128, g0, g1)
     p = vals_ref[:] * g
 
-    # stage 3: MXU prefix sum + boundary gather
+    # stage 3: MXU prefix sum + boundary gather.  H[mr, r] = sum of this
+    # micro-row's entries in window-rows <= r (CUMULATIVE: the per-row
+    # difference is linear and therefore deferred past accumulation to a
+    # single end-of-kernel pass, removing a per-step lane roll that
+    # measured 25% of the step cost)
     li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     U = jnp.where(li <= lj, 1.0, 0.0)
@@ -110,22 +121,25 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
 
     H = jnp.take_along_axis(c, jnp.maximum(epos - 1, 0), axis=1)
     H = jnp.where(epos > 0, H, 0.0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (MR_BLOCK, LANE), 1)
-    Hs = pltpu.roll(H, 1, axis=1)
-    Hs = jnp.where(lane == 0, 0.0, Hs)
-    oper_ref[:] = H - Hs  # per-micro-row dense row-window sums
 
-    # stage 4: accumulate into the output.  The layout guarantees all 8
-    # micro-rows of a vreg share one row window (stripe padding), so each
-    # vreg reduces with one sublane sum and one dense add.
-    def acc(i, _):
-        base = pl.multiple_of(i * 8, 8)
+    # stage 4: accumulate the cumulative sums into the output, straight
+    # off the H value (Python loop -> static slices).  The layout pads
+    # stripes to ACC_GROUP micro-rows, so each aligned group shares one
+    # row window: one sublane-sum + one RMW per ACC_GROUP micro-rows.
+    for i in range(MR_BLOCK // ACC_GROUP):
+        base = i * ACC_GROUP
         rb = rbcb_ref[base] >> 16
-        win = jnp.sum(oper_ref[pl.ds(base, 8), :], axis=0, keepdims=True)
+        win = jnp.sum(H[base : base + ACC_GROUP], axis=0, keepdims=True)
         out_ref[pl.ds(rb, 1), :] += win
-        return 0
 
-    jax.lax.fori_loop(0, _VREGS, acc, 0, unroll=_VREGS)
+    # final pass: one lane-shifted difference turns the accumulated
+    # cumulative sums into per-row results
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _():
+        acc_c = out_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc_c.shape, 1)
+        sh = pltpu.roll(acc_c, 1, axis=1)
+        out_ref[:] = acc_c - jnp.where(lane == 0, 0.0, sh)
 
 
 @functools.partial(

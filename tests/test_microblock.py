@@ -44,6 +44,14 @@ def test_microblock_invariants(window, csr):
     cb = rbcb & 0xFFFF
     assert np.all(rb >= 0)
     assert np.all(cb >= 0)
+
+    # kernel invariant: every aligned ACC_GROUP-micro-row accumulation
+    # group shares one row window (stripe padding guarantees it)
+    from csr_tpu.ops.microblock import ACC_GROUP
+
+    ngrp = (len(rb) // ACC_GROUP) * ACC_GROUP
+    rbg = rb[:ngrp].reshape(-1, ACC_GROUP)
+    assert np.all(rbg == rbg[:, :1])
     if csr.nnz:
         assert rb.max() <= (csr.nrows - 1) >> 7
         assert cb.max() <= (csr.ncols - 1) >> shift
@@ -105,8 +113,10 @@ def test_native_build_matches_numpy(window, csr):
     rp = np.asarray(csr.rowptrs)
     cols = np.asarray(csr.colinds)
     vals = None if csr.values is None else np.asarray(csr.values)
+    from csr_tpu.ops.microblock import ACC_GROUP
+
     nat = native.build_microblocks(
-        csr.nrows, csr.ncols, rp, cols, vals, MR_BLOCK, window
+        csr.nrows, csr.ncols, rp, cols, vals, MR_BLOCK, window, ACC_GROUP
     )
     assert nat is not None
 
