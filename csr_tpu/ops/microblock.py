@@ -168,15 +168,16 @@ def estimate_microrows(rp, cols, window: int, ncols: int | None = None) -> int:
 def choose_window(rp, cols, ncols: int | None = None) -> int:
     """Pick the micro-row window width by cost model.
 
-    With the unrolled kernel loops the 256-wide SpMV step costs ~1.5x the
-    128-wide one (v5e, 10.7M nnz: 3.45 vs 5.13 us/step — the extra operand
-    slices dominate the unrolled build loop), so it wins only when it
-    removes >33% of the micro-rows."""
+    With the round-2 kernel (deferred difference + grouped accumulation)
+    the 256-wide SpMV step costs ~1.67x the 128-wide one (v5e, 10.7M nnz:
+    2.98 vs 4.97 us per 1024 micro-rows — the cheap stages shrank, so the
+    extra operand slices weigh more), so the double window wins only when
+    it removes >40% of the micro-rows."""
     m128 = estimate_microrows(rp, cols, 128, ncols)
     if m128 == 0:
         return 128
     m256 = estimate_microrows(rp, cols, 256, ncols)
-    return 256 if m256 <= 0.67 * m128 else 128
+    return 256 if m256 <= 0.60 * m128 else 128
 
 
 def build_microblocks(csr, window: int | None = None) -> MicroBlockLayout:

@@ -207,8 +207,14 @@ def _spmv_call_bucket(
         out_specs=pl.BlockSpec((rb_count, LANE), lambda i, h: (0, 0)),
         scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.float32)] * wb,
     )
+    def kernel(held_ref, *refs):
+        # the scalar-prefetch operand arrives as the leading ref; it is
+        # consumed by the index maps only
+        del held_ref
+        _spmv_kernel(*refs, wb=wb)
+
     return pl.pallas_call(
-        functools.partial(_spmv_kernel, wb=wb),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rb_count, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -146,6 +146,57 @@ def test_ring_spmv():
 
 
 @needs_devices
+def test_ring_microblock_spmv():
+    """Production ring schedule: the held column-shard bucket runs the
+    Pallas micro-block kernel, selected via scalar prefetch - no switch
+    fan, no bucket copy (csr_tpu/parallel/mb_ring.py)."""
+    import scipy.sparse as sps
+
+    from csr_tpu import CSR
+    from csr_tpu.parallel import mb_ring
+
+    rng = np.random.default_rng(11)
+    m = sps.random(900, 1100, 0.04, format="csr", random_state=rng,
+                   dtype=np.float32)
+    csr = CSR.from_scipy(m)
+    n = min(len(jax.devices()), 8)
+    mesh = make_mesh(n)
+    rmb = mb_ring.partition_ring_mb(csr, n).shard(mesh)
+    x = rng.standard_normal(1100).astype(np.float32)
+    xs = mb_ring.scatter_x(rmb, x, mesh)
+    y = mb_ring.spmv_ring_mb(rmb, xs, mesh, interpret=True)
+    yg = np.asarray(mb_ring.collect_rows(rmb, y))
+    ref = np.asarray(m @ x)
+    np.testing.assert_allclose(yg, ref, rtol=1e-4, atol=1e-3)
+
+
+@needs_devices
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_ring_microblock_property(data):
+    """Ring micro-block SpMV parity on hypothesis draws (structure-only
+    matrices included; both window widths can arise via the chooser)."""
+    from csr_tpu.parallel import mb_ring
+
+    csr = data.draw(csrs(nrows=st.integers(8, 60)))
+    n = min(len(jax.devices()), 8)
+    mesh = make_mesh(n)
+    rmb = mb_ring.partition_ring_mb(csr, n).shard(mesh)
+    x = data.draw(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, width=32),
+            min_size=csr.ncols, max_size=csr.ncols,
+        )
+    )
+    x = np.asarray(x, np.float32)
+    xs = mb_ring.scatter_x(rmb, x, mesh)
+    y = mb_ring.spmv_ring_mb(rmb, xs, mesh, interpret=True)
+    yg = np.asarray(mb_ring.collect_rows(rmb, y))
+    ref = to_dense(csr).astype(np.float64) @ x.astype(np.float64)
+    assert_spmv_close(yg, ref, csr, x)
+
+
+@needs_devices
 @pytest.mark.parametrize("window", [None, 128, 256])
 def test_dist_microblock_spmv(window):
     """The production distributed path: per-shard Pallas micro-block
