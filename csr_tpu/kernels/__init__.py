@@ -66,8 +66,17 @@ if _TRACE and not _trace_log.handlers:  # pragma: no cover - env-dependent
     _trace_log.setLevel(logging.INFO)
 
 
+#: registered trace listeners (callables ``f(event, fields)``); always
+#: dispatched, independent of CSR_TPU_TRACE — the hook behind
+#: :func:`csr_tpu.utils.debug.check_handle_leaks`
+_listeners: list = []
+
+
 def trace(event: str, **fields):
-    """Log a handle-lifecycle event when ``CSR_TPU_TRACE`` is set."""
+    """Log a handle-lifecycle event when ``CSR_TPU_TRACE`` is set, and
+    dispatch it to any registered listeners."""
+    for listener in _listeners:
+        listener(event, fields)
     if _TRACE:
         _trace_log.info(
             "%s %s", event, " ".join(f"{k}={v}" for k, v in fields.items())

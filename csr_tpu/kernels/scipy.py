@@ -11,12 +11,16 @@ from __future__ import annotations
 import numpy as np
 from scipy.sparse import csr_matrix
 
+from csr_tpu.kernels import trace
+
 max_nnz = np.iinfo("i8").max
 
 
 def to_handle(csr):
     """CSR -> scipy.sparse.csr_matrix on the host
     (reference: csr/kernels/scipy.py:15-19)."""
+    trace("to_handle", kernel="scipy", shape=(csr.nrows, csr.ncols),
+          nnz=csr.nnz)
     values = csr.values
     if values is None:
         values = np.ones(csr.nnz)
@@ -44,7 +48,7 @@ def order_columns(h):
 
 
 def release_handle(h):
-    pass
+    trace("release_handle", kernel="scipy", nnz=h.nnz)
 
 
 def mult_ab(A, B):

@@ -52,85 +52,102 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .microblock import ACC_GROUP, LANE, MR_BLOCK, MicroBlockLayout
 
-_VREGS = MR_BLOCK // 8  # vector registers of micro-rows per grid step
+#: independent sub-blocks per grid step.  The stages of one sub-block
+#: form a serial chain (build -> gather -> matmul -> boundary); tracing
+#: two chains gives Mosaic's scheduler freedom to overlap sub-block 1's
+#: VPU build loop with sub-block 0's MXU matmul: measured -6.3%/step,
+#: bit-exact (quarters are slightly worse).
+_NSUB = 2
+_SUB = MR_BLOCK // _NSUB
 
 
 def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
-    oper_ref = scratch[0]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # stage 1: assemble each micro-row's x window into scratch.  With the
-    # 256-wide double window (wb=2) each micro-row gets two operand vregs,
-    # staged in two scratch blocks (lane count per block caps at 128, the
-    # dynamic_gather limit).
-    def build(i, _):
-        base = pl.multiple_of(i * 8, 8)
-        rows = [[] for _ in range(wb)]
-        for s in range(8):
-            cb = rbcb_ref[base + s] & 0xFFFF
-            # wb separate single-row slices: a contiguous (wb, 128) slice
-            # plus a static sublane split measures 3.4x slower (the split
-            # forces per-vreg relayouts)
-            for w in range(wb):
-                rows[w].append(x_ref[pl.ds(cb * wb + w, 1), :])
-        for w in range(wb):
-            scratch[w][pl.ds(base, 8), :] = jnp.concatenate(rows[w], axis=0)
-        return 0
-
-    # Full unroll: Mosaic supports only unroll=1 or =trip-count for kernel
-    # loops, and unrolling removes the scalar loop-carried dependency --
-    # measured -22% per step (build) and -14% (acc) on v5e (docs/perf.md).
-    jax.lax.fori_loop(0, _VREGS, build, 0, unroll=_VREGS)
-
-    # unpack the u16 metadata stream (6 B/slot total with vals)
-    meta = meta_ref[:].astype(jnp.int32)
-    if wb == 1:
-        lo = meta & 127
-        epos = meta >> 7
-    else:
-        lo = meta & 255
-        epos = meta >> 8
-
-    # stage 2: full-block gather + scale
-    if wb == 1:
-        g = jnp.take_along_axis(oper_ref[:], lo, axis=1)
-    else:
-        lo7 = lo & 127
-        g0 = jnp.take_along_axis(scratch[0][:], lo7, axis=1)
-        g1 = jnp.take_along_axis(scratch[1][:], lo7, axis=1)
-        g = jnp.where(lo < 128, g0, g1)
-    p = vals_ref[:] * g
-
-    # stage 3: MXU prefix sum + boundary gather.  H[mr, r] = sum of this
-    # micro-row's entries in window-rows <= r (CUMULATIVE: the per-row
-    # difference is linear and therefore deferred past accumulation to a
-    # single end-of-kernel pass, removing a per-step lane roll that
-    # measured 25% of the step cost)
     li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     U = jnp.where(li <= lj, 1.0, 0.0)
-    c = jax.lax.dot_general(
-        p, U, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
 
-    H = jnp.take_along_axis(c, jnp.maximum(epos - 1, 0), axis=1)
-    H = jnp.where(epos > 0, H, 0.0)
+    Hs = []
+    for s_ in range(_NSUB):
+        off = s_ * _SUB
+
+        # stage 1: assemble each micro-row's x window into scratch.  With
+        # the 256-wide double window (wb=2) each micro-row gets two operand
+        # vregs, staged in two scratch blocks (lane count per block caps at
+        # 128, the dynamic_gather limit).
+        def build(i, _, off=off):
+            base = pl.multiple_of(off + i * 8, 8)
+            rows = [[] for _ in range(wb)]
+            for s in range(8):
+                cb = rbcb_ref[base + s] & 0xFFFF
+                # wb separate single-row slices: a contiguous (wb, 128)
+                # slice plus a static sublane split measures 3.4x slower
+                # (the split forces per-vreg relayouts)
+                for w in range(wb):
+                    rows[w].append(x_ref[pl.ds(cb * wb + w, 1), :])
+            for w in range(wb):
+                scratch[w][pl.ds(base, 8), :] = jnp.concatenate(
+                    rows[w], axis=0
+                )
+            return 0
+
+        # Full unroll: Mosaic supports only unroll=1 or =trip-count for
+        # kernel loops, and unrolling removes the scalar loop-carried
+        # dependency -- measured -22% per step (docs/perf.md).
+        jax.lax.fori_loop(0, _SUB // 8, build, 0, unroll=_SUB // 8)
+
+        # unpack the u16 metadata stream (6 B/slot total with vals)
+        meta = meta_ref[off : off + _SUB, :].astype(jnp.int32)
+        if wb == 1:
+            lo = meta & 127
+            epos = meta >> 7
+        else:
+            lo = meta & 255
+            epos = meta >> 8
+
+        # stage 2: full-block gather + scale
+        if wb == 1:
+            g = jnp.take_along_axis(scratch[0][off : off + _SUB, :], lo,
+                                    axis=1)
+        else:
+            lo7 = lo & 127
+            g0 = jnp.take_along_axis(scratch[0][off : off + _SUB, :], lo7,
+                                     axis=1)
+            g1 = jnp.take_along_axis(scratch[1][off : off + _SUB, :], lo7,
+                                     axis=1)
+            g = jnp.where(lo < 128, g0, g1)
+        p = vals_ref[off : off + _SUB, :] * g
+
+        # stage 3: MXU prefix sum + boundary gather.  H[mr, r] = sum of
+        # the micro-row's entries in window-rows <= r (CUMULATIVE: the
+        # per-row difference is linear and therefore deferred past
+        # accumulation to a single end-of-kernel pass, removing a per-step
+        # lane roll that measured 25% of the step cost)
+        c = jax.lax.dot_general(
+            p, U, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        H = jnp.take_along_axis(c, jnp.maximum(epos - 1, 0), axis=1)
+        Hs.append(jnp.where(epos > 0, H, 0.0))
 
     # stage 4: accumulate the cumulative sums into the output, straight
-    # off the H value (Python loop -> static slices).  The layout pads
+    # off the H values (Python loop -> static slices).  The layout pads
     # stripes to ACC_GROUP micro-rows, so each aligned group shares one
     # row window: one sublane-sum + one RMW per ACC_GROUP micro-rows.
-    for i in range(MR_BLOCK // ACC_GROUP):
-        base = i * ACC_GROUP
-        rb = rbcb_ref[base] >> 16
-        win = jnp.sum(H[base : base + ACC_GROUP], axis=0, keepdims=True)
-        out_ref[pl.ds(rb, 1), :] += win
+    for s_ in range(_NSUB):
+        off = s_ * _SUB
+        H = Hs[s_]
+        for i in range(_SUB // ACC_GROUP):
+            base = i * ACC_GROUP
+            rb = rbcb_ref[off + base] >> 16
+            win = jnp.sum(H[base : base + ACC_GROUP], axis=0, keepdims=True)
+            out_ref[pl.ds(rb, 1), :] += win
 
     # final pass: one lane-shifted difference turns the accumulated
     # cumulative sums into per-row results

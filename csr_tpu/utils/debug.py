@@ -40,3 +40,59 @@ def guard_transfers(level: str = "disallow"):
     """
     with jax.transfer_guard(level):
         yield
+
+
+@contextmanager
+def check_handle_leaks(strict: bool = True):
+    """Assert that every ``to_handle`` inside the block is balanced by a
+    ``release_handle`` — the runtime analog of the reference's LK_TRACE
+    handle-leak debugging workflow (reference: csr/kernels/mkl/mkl_ops.c
+    alloc/free tracing, tasks.py:49-51), as a checkable invariant instead
+    of stderr logs to eyeball.
+
+    Device handles here hold HBM references (micro-block layouts, dense
+    panels); a leaked handle in a long-running serving loop pins device
+    memory the same way a leaked MKL handle pinned host memory.
+
+    Example::
+
+        from csr_tpu.utils.debug import check_handle_leaks
+
+        with check_handle_leaks():
+            with releasing(K.to_handle(a), K) as h:
+                y = K.mult_vec(h, x)
+
+    With ``strict=False`` the context yields a counter object instead of
+    raising; inspect ``counter.outstanding`` after the block.
+    """
+    from csr_tpu import kernels
+
+    class Counter:
+        def __init__(self):
+            self.created = 0
+            self.released = 0
+
+        @property
+        def outstanding(self) -> int:
+            return self.created - self.released
+
+        def __call__(self, event, fields):
+            if event == "to_handle":
+                self.created += 1
+            elif event == "release_handle":
+                self.released += 1
+
+    counter = Counter()
+    kernels._listeners.append(counter)
+    try:
+        yield counter
+    except BaseException:
+        kernels._listeners.remove(counter)
+        raise  # an in-flight error outranks the leak report
+    else:
+        kernels._listeners.remove(counter)
+        if strict and counter.outstanding != 0:
+            raise AssertionError(
+                f"handle leak: {counter.created} to_handle vs "
+                f"{counter.released} release_handle inside the block"
+            )

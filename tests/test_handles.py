@@ -71,3 +71,39 @@ def test_pallas_layout_cache_and_invalidation():
         assert csr._mb_layout_cache is None
         y4 = np.asarray(csr.mult_vec(x))  # rebuilds transparently
         np.testing.assert_allclose(y4, y3)
+
+
+def test_check_handle_leaks():
+    """The leak checker counts to_handle/release_handle balance (the
+    runtime analog of the reference's LK_TRACE leak debugging,
+    reference: csr/kernels/mkl/mkl_ops.c alloc/free tracing)."""
+    import pytest
+
+    from csr_tpu import CSR
+    from csr_tpu.kernels import get_kernel, releasing
+    from csr_tpu.utils.debug import check_handle_leaks
+
+    csr = CSR.from_coo([0, 1], [1, 0], [1.0, 2.0], (2, 2))
+    K = get_kernel("xla")
+
+    # balanced: high-level ops release their handles
+    with check_handle_leaks() as c:
+        csr.mult_vec(np.ones(2, np.float32))
+    assert c.created >= 1 and c.outstanding == 0
+
+    # a deliberate leak raises
+    with pytest.raises(AssertionError, match="handle leak"):
+        with check_handle_leaks():
+            K.to_handle(csr)
+
+    # non-strict mode reports instead
+    with check_handle_leaks(strict=False) as c:
+        h = K.to_handle(csr)
+    assert c.outstanding == 1
+    K.release_handle(h)
+
+    # an in-flight exception is not masked by the leak report
+    with pytest.raises(ValueError, match="boom"):
+        with check_handle_leaks():
+            K.to_handle(csr)
+            raise ValueError("boom")
