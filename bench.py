@@ -86,7 +86,7 @@ def main():
         def body(i, xv):
             y = spmv_op._spmv_call(
                 vals_a, meta, rbcb, xv, m_pad, rb_count, cb_count, on_cpu,
-                wb=layout.window // 128,
+                wb=layout.window // 128, pair=layout.pair,
             )
             # feed output back (nrows == ncols) with a cheap normalization
             # so iterations are data-dependent and cannot be elided

@@ -168,16 +168,19 @@ def _mb_bind(lib):
     f32p = ctypes.POINTER(ctypes.c_float)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.csrt_mb_plan.restype = i64
-    lib.csrt_mb_plan.argtypes = [i64, i64, i64, i64p, i32p, i64, i64]
+    lib.csrt_mb_plan.argtypes = [i64, i64, i64, i64p, i32p, i64, i64, i64]
     lib.csrt_mb_fill.restype = i64
     lib.csrt_mb_fill.argtypes = [i64, i64, i64, i64p, i32p, f32p, i64, i64,
-                                 i64, f32p, u16p, i32p]
+                                 i64, i64, f32p, u16p, i32p]
+    lib.csrt_mb_plan3.restype = i64
+    lib.csrt_mb_plan3.argtypes = [i64, i64, i64, i64p, i32p, i64, i64, i64p]
 
 
 def plan_microrows(nrows, ncols, rowptrs, cols, window: int,
-                   pad_mult: int):
-    """Native micro-row count for a given window width (for the window
-    chooser), or None when the native library is unavailable."""
+                   pad_mult: int, pair: int = 1):
+    """Native micro-row count for a given (window, pair) layout choice
+    (for the layout chooser), or None when the native library is
+    unavailable."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "csrt_mb_plan"):
         return None
@@ -186,13 +189,30 @@ def plan_microrows(nrows, ncols, rowptrs, cols, window: int,
     cols = np.ascontiguousarray(cols, np.int32)
     m = lib.csrt_mb_plan(
         len(cols), nrows, ncols, _i64p(rowptrs), _i32p(cols),
-        int(window).bit_length() - 1, pad_mult,
+        int(window).bit_length() - 1, pad_mult, pair,
     )
     return None if m < 0 else int(m)
 
 
+def plan_microrows3(nrows, ncols, rowptrs, cols, window: int, pad_mult: int):
+    """Native micro-row counts for pair = (1, 2, 4) at one window width in
+    a single sort+walk, or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "csrt_mb_plan3"):
+        return None
+    _mb_bind(lib)
+    rowptrs = np.ascontiguousarray(rowptrs, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    out3 = np.empty(3, np.int64)
+    rc = lib.csrt_mb_plan3(
+        len(cols), nrows, ncols, _i64p(rowptrs), _i32p(cols),
+        int(window).bit_length() - 1, pad_mult, _i64p(out3),
+    )
+    return None if rc < 0 else tuple(int(v) for v in out3)
+
+
 def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int,
-                      window: int, pad_mult: int):
+                      window: int, pad_mult: int, pair: int = 1):
     """Native micro-block layout build (see csr_host.cpp csrt_mb_*).
 
     Returns ``(vals, meta, rbcb, m)`` numpy arrays with ``m_pad`` rows
@@ -207,7 +227,7 @@ def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int,
     nnz = len(cols)
     cshift = int(window).bit_length() - 1
     m = lib.csrt_mb_plan(nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols),
-                         cshift, pad_mult)
+                         cshift, pad_mult, pair)
     if m < 0:
         return None
     m_pad = -(-max(int(m), 1) // m_round) * m_round
@@ -221,7 +241,7 @@ def build_microblocks(nrows, ncols, rowptrs, cols, values, m_round: int,
         vp = None
     m2 = lib.csrt_mb_fill(
         nnz, nrows, ncols, _i64p(rowptrs), _i32p(cols), vp, cshift, pad_mult,
-        m_pad,
+        pair, m_pad,
         _fp(vals), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         _i32p(rbcb),
     )

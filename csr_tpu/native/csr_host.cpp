@@ -276,10 +276,16 @@ static bool mb_sort(int64_t nnz, int64_t nrows, int64_t ncols,
 // pad_mult is the stripe padding multiple (a power of two): the SpMV
 // kernel accumulates pad_mult micro-rows per output read-modify-write, so
 // every aligned pad_mult-row group must share one row window.
+// pair (a power of two dividing pad_mult) pads every GROUP's micro-row
+// count to a multiple of pair, so aligned pair-length micro-row runs share
+// one column window: the SpMV build loop then issues one operand address
+// per pair instead of one per micro-row (the scalar core is the build
+// loop's bottleneck; measured -21%/step at pair=2 on v5e).
 template <typename F>
 static int64_t mb_walk(int64_t nnz, const MbSorted& s, int64_t cshift,
-                       int64_t pad_mult, F&& group_fn) {
+                       int64_t pad_mult, int64_t pair, F&& group_fn) {
   const int64_t pmask = pad_mult - 1;
+  const int64_t gmask = pair - 1;
   int64_t m = 0;
   int64_t i = 0;
   int32_t cur_rb = -1;
@@ -292,7 +298,7 @@ static int64_t mb_walk(int64_t nnz, const MbSorted& s, int64_t cshift,
     int64_t j = i;
     while (j < nnz && (s.rid[j] >> 7) == rb && (s.col[j] >> cshift) == cb) ++j;
     group_fn(i, j - i, m);
-    m += (j - i + 127) >> 7;
+    m += (((j - i + 127) >> 7) + gmask) & ~gmask;
     i = j;
   }
   return (m + pmask) & ~pmask;
@@ -302,31 +308,68 @@ static int64_t mb_walk(int64_t nnz, const MbSorted& s, int64_t cshift,
 
 extern "C" int64_t csrt_mb_plan(int64_t nnz, int64_t nrows, int64_t ncols,
                                 const int64_t* rowptrs, const int32_t* cols,
-                                int64_t cshift, int64_t pad_mult) {
+                                int64_t cshift, int64_t pad_mult,
+                                int64_t pair) {
   MbSorted s;
   if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, nullptr, cshift, s)) return -1;
-  return mb_walk(nnz, s, cshift, pad_mult, [](int64_t, int64_t, int64_t) {});
+  return mb_walk(nnz, s, cshift, pad_mult, pair,
+                 [](int64_t, int64_t, int64_t) {});
+}
+
+// Plan for pair = 1, 2 and 4 in one sort+walk (for the layout chooser).
+// Writes the three micro-row totals to out3; returns 0, or -1 when the
+// matrix exceeds the rbcb packing range.
+extern "C" int64_t csrt_mb_plan3(int64_t nnz, int64_t nrows, int64_t ncols,
+                                 const int64_t* rowptrs, const int32_t* cols,
+                                 int64_t cshift, int64_t pad_mult,
+                                 int64_t* out3) {
+  MbSorted s;
+  if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, nullptr, cshift, s)) return -1;
+  const int64_t pmask = pad_mult - 1;
+  int64_t m[3] = {0, 0, 0};
+  int64_t i = 0;
+  int32_t cur_rb = -1;
+  while (i < nnz) {
+    int32_t rb = s.rid[i] >> 7, cb = s.col[i] >> cshift;
+    if (rb != cur_rb) {
+      for (int k = 0; k < 3; ++k) m[k] = (m[k] + pmask) & ~pmask;
+      cur_rb = rb;
+    }
+    int64_t j = i;
+    while (j < nnz && (s.rid[j] >> 7) == rb && (s.col[j] >> cshift) == cb) ++j;
+    int64_t mrs = (j - i + 127) >> 7;
+    m[0] += mrs;
+    m[1] += (mrs + 1) & ~int64_t(1);
+    m[2] += (mrs + 3) & ~int64_t(3);
+    i = j;
+  }
+  for (int k = 0; k < 3; ++k) out3[k] = (m[k] + pmask) & ~pmask;
+  return 0;
 }
 
 extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
                                 const int64_t* rowptrs, const int32_t* cols,
                                 const float* vals, int64_t cshift,
-                                int64_t pad_mult,
+                                int64_t pad_mult, int64_t pair,
                                 int64_t m_pad, float* out_vals,
                                 uint16_t* out_meta, int32_t* out_rbcb) {
   MbSorted s;
   if (!mb_sort(nnz, nrows, ncols, rowptrs, cols, vals, cshift, s)) return -1;
   const int32_t lo_mask = (int32_t(1) << cshift) - 1;
   const int e_shift = (cshift == 7) ? 7 : 8;
+  const int64_t gmask = pair - 1;
 
-  // caller supplies zeroed arrays of m_pad micro-rows
-  int64_t m = mb_walk(nnz, s, cshift, pad_mult,
+  // caller supplies zeroed arrays of m_pad micro-rows.  Group-padding
+  // micro-rows (up to the pair multiple) carry the group's (rb, cb) so the
+  // pair-uniform-cb invariant holds; their values/meta stay zero.
+  int64_t m = mb_walk(nnz, s, cshift, pad_mult, pair,
                       [&](int64_t start, int64_t size, int64_t mr0) {
     int32_t rb = s.rid[start] >> 7, cb = s.col[start] >> cshift;
     int64_t mrs = (size + 127) >> 7;
+    int64_t mrs_pad = (mrs + gmask) & ~gmask;
+    for (int64_t k = 0; k < mrs_pad; ++k) out_rbcb[mr0 + k] = (rb << 16) | cb;
     for (int64_t k = 0; k < mrs; ++k) {
       int64_t mr = mr0 + k;
-      out_rbcb[mr] = (rb << 16) | cb;
       int64_t lim = std::min<int64_t>(128, size - k * 128);
       int32_t cnt[128] = {0};
       const int64_t base = start + k * 128;
@@ -343,15 +386,17 @@ extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
     }
   });
 
-  // stripe-padding micro-rows carry their stripe's rb (value/meta zero);
-  // walk again to stamp rbcb on the gaps, then extend the final rb to m_pad
+  // stripe-padding micro-rows carry their stripe's rb (value/meta zero,
+  // cb zero — safe: stripe pads start pair-aligned because group counts
+  // are pair multiples and pad_mult is a multiple of pair); walk again to
+  // stamp rbcb on the gaps, then extend the final rb to m_pad
   int64_t cursor = 0;
   int32_t last_rb = 0;
-  mb_walk(nnz, s, cshift, pad_mult,
+  mb_walk(nnz, s, cshift, pad_mult, pair,
           [&](int64_t start, int64_t size, int64_t mr0) {
     int32_t rb = s.rid[start] >> 7;
     for (; cursor < mr0; ++cursor) out_rbcb[cursor] = last_rb << 16;
-    cursor = mr0 + ((size + 127) >> 7);
+    cursor = mr0 + ((((size + 127) >> 7) + gmask) & ~gmask);
     last_rb = rb;
   });
   for (; cursor < m_pad; ++cursor) out_rbcb[cursor] = last_rb << 16;

@@ -63,6 +63,18 @@ The u16 packing matters: the kernels stream 6 B per slot instead of 12,
 which halves both the HBM traffic and the device-memory footprint of a
 handle (measured: ~5% faster SpMV; the kernel is compute-bound, see
 docs/perf.md).
+
+**Pair mode.** The SpMV build loop is scalar-core bound: it issues one
+operand address per micro-row (8 per vector register), and at the
+flagship that addressing is ~35% of the whole step.  ``pair = P`` pads
+every (rb, cb) group's micro-row count to a multiple of P, so aligned
+P-length micro-row runs share one column window and the build loop
+issues ``8/P`` addresses per vreg.  At densities where groups naturally
+span >= P micro-rows the padding is free — the 10.7M-nnz flagship
+(groups ~2.6 micro-rows) runs pair=2 with *zero* added padding at
+-21%/step (2.45 -> 1.94 us per 1024 micro-rows, v5e).  Where groups are
+smaller, padding costs fill; :func:`choose_layout` picks (window, pair)
+by a measured cost model.
 """
 
 from __future__ import annotations
@@ -97,6 +109,9 @@ class MicroBlockLayout:
     meta: jax.Array  # (M, 128) u16: lo | epos << (7|8)
     rbcb: jax.Array  # (M,) i32
     window: int = LANE  # columns per micro-row window (128 or 256)
+    #: aligned micro-row runs guaranteed to share one column window (the
+    #: SpMV build loop issues 8/pair operand addresses per vreg)
+    pair: int = 1
 
     @property
     def rb_count(self) -> int:
@@ -132,8 +147,29 @@ class MicroBlockLayout:
         return m & ((1 << s) - 1), m >> s
 
 
-def estimate_microrows(rp, cols, window: int, ncols: int | None = None) -> int:
-    """Stripe-padded micro-row count a build at ``window`` columns would
+def _estimate_multi_numpy(rp, cols, window: int, nrows: int):
+    """(m_pair1, m_pair2, m_pair4) stripe-padded micro-row counts, numpy."""
+    rids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(rp))
+    shift = int(window).bit_length() - 1
+    key = (rids >> 7) << 32 | (np.asarray(cols).astype(np.int64) >> shift)
+    uk, counts = np.unique(key, return_counts=True)
+    grp_mrs = -(-counts // LANE)
+    urb = uk >> 32
+    new_stripe = np.empty(len(uk), bool)
+    new_stripe[0] = True
+    new_stripe[1:] = urb[1:] != urb[:-1]
+    stripe_id = np.cumsum(new_stripe) - 1
+    out = []
+    for pair in (1, 2, 4):
+        gm = -(-grp_mrs // pair) * pair
+        stripe_mrs = np.bincount(stripe_id, weights=gm).astype(np.int64)
+        out.append(int((-(-stripe_mrs // ACC_GROUP) * ACC_GROUP).sum()))
+    return tuple(out)
+
+
+def estimate_microrows(rp, cols, window: int, ncols: int | None = None,
+                       pair: int = 1) -> int:
+    """Stripe-padded micro-row count a build at ``(window, pair)`` would
     produce (host, one sort — cheap relative to the build itself).
 
     ``ncols`` should be the matrix's true column count so the native
@@ -148,39 +184,60 @@ def estimate_microrows(rp, cols, window: int, ncols: int | None = None) -> int:
         ncols = int(np.max(cols)) + 1
     from csr_tpu import native
 
-    m = native.plan_microrows(nrows, ncols, rp, cols, window, ACC_GROUP)
+    m = native.plan_microrows(nrows, ncols, rp, cols, window, ACC_GROUP, pair)
     if m is not None:
         return m
-    rids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(rp))
-    shift = int(window).bit_length() - 1
-    key = (rids >> 7) << 32 | (np.asarray(cols).astype(np.int64) >> shift)
-    uk, counts = np.unique(key, return_counts=True)
-    grp_mrs = -(-counts // LANE)
-    urb = uk >> 32
-    new_stripe = np.empty(len(uk), bool)
-    new_stripe[0] = True
-    new_stripe[1:] = urb[1:] != urb[:-1]
-    stripe_id = np.cumsum(new_stripe) - 1
-    stripe_mrs = np.bincount(stripe_id, weights=grp_mrs).astype(np.int64)
-    return int((-(-stripe_mrs // ACC_GROUP) * ACC_GROUP).sum())
+    return _estimate_multi_numpy(rp, cols, window, nrows)[(1, 2, 4).index(pair)]
+
+
+#: measured SpMV step cost (us per 1024 micro-rows, v5e, round-3
+#: production kernel, all six combos measured in one session at the
+#: 10.7M-nnz flagship) per (window, pair).  Only the *ratios* matter —
+#: the chooser minimizes predicted time = m(window, pair) x cost.
+STEP_COST = {
+    (128, 1): 2.45, (128, 2): 1.98, (128, 4): 1.58,
+    (256, 1): 4.42, (256, 2): 2.86, (256, 4): 2.43,
+}
+
+
+def choose_layout(rp, cols, ncols: int | None = None) -> tuple[int, int]:
+    """Pick ``(window, pair)`` minimizing predicted SpMV time.
+
+    Predicted time is micro-row count (from one native plan per window
+    width, covering all pair paddings) times the measured per-micro-row
+    step cost :data:`STEP_COST`.  At the 10.7M-nnz flagship this picks
+    (128, 2): pair padding is free there and saves 21%/step; at low
+    densities pair padding costs fill and pair=1 wins back."""
+    nnz = int(len(cols))
+    if nnz == 0:
+        return LANE, 1
+    rp = np.asarray(rp)
+    nrows = len(rp) - 1
+    if ncols is None:
+        ncols = int(np.max(cols)) + 1
+    from csr_tpu import native
+
+    best = None
+    for window in (128, 256):
+        m3 = native.plan_microrows3(nrows, ncols, rp, cols, window, ACC_GROUP)
+        if m3 is None:
+            m3 = _estimate_multi_numpy(rp, cols, window, nrows)
+        for pair, m in zip((1, 2, 4), m3):
+            t = m * STEP_COST[(window, pair)]
+            if best is None or t < best[0]:
+                best = (t, window, pair)
+    return best[1], best[2]
 
 
 def choose_window(rp, cols, ncols: int | None = None) -> int:
-    """Pick the micro-row window width by cost model.
-
-    With the round-2 kernel (deferred difference + grouped accumulation)
-    the 256-wide SpMV step costs ~1.67x the 128-wide one (v5e, 10.7M nnz:
-    2.98 vs 4.97 us per 1024 micro-rows — the cheap stages shrank, so the
-    extra operand slices weigh more), so the double window wins only when
-    it removes >40% of the micro-rows."""
-    m128 = estimate_microrows(rp, cols, 128, ncols)
-    if m128 == 0:
-        return 128
-    m256 = estimate_microrows(rp, cols, 256, ncols)
-    return 256 if m256 <= 0.60 * m128 else 128
+    """Window width of the cost-model-chosen layout (see
+    :func:`choose_layout`)."""
+    return choose_layout(rp, cols, ncols)[0]
 
 
-def build_microblocks(csr, window: int | None = None) -> MicroBlockLayout:
+def build_microblocks(
+    csr, window: int | None = None, pair: int | None = None
+) -> MicroBlockLayout:
     """Convert a CSR matrix into micro-block layout (device round-trip).
 
     For data that is already on the host, use
@@ -193,11 +250,14 @@ def build_microblocks(csr, window: int | None = None) -> MicroBlockLayout:
         rp = np.asarray(csr.rowptrs)
         cis = np.asarray(csr.colinds)
         vals = None if csr.values is None else np.asarray(csr.values)
-    return build_microblocks_host(csr.nrows, csr.ncols, rp, cis, vals, window=window)
+    return build_microblocks_host(
+        csr.nrows, csr.ncols, rp, cis, vals, window=window, pair=pair
+    )
 
 
 def build_microblocks_host(
-    nrows, ncols, rp, cols, vals_in, *, window: int | None = None
+    nrows, ncols, rp, cols, vals_in, *,
+    window: int | None = None, pair: int | None = None,
 ) -> MicroBlockLayout:
     """Pack host CSR arrays into micro-block layout.
 
@@ -209,27 +269,31 @@ def build_microblocks_host(
     path (csr_tpu/native, O(n) counting sorts) is ~10x the numpy path and
     is used whenever the library is available.
 
-    ``window`` forces a window width (128/256); default picks by cost
-    model (:func:`choose_window`).
+    ``window`` forces a window width (128/256) and ``pair`` a micro-row
+    pairing multiple (1/2/4); by default both come from the measured cost
+    model (:func:`choose_layout`).
     """
     nnz = int(len(cols))
-    if nnz and window is None:
-        window = choose_window(rp, cols, ncols)
-    elif window is None:
-        window = LANE
+    if nnz and (window is None or pair is None):
+        w_, p_ = choose_layout(rp, cols, ncols)
+        window = w_ if window is None else window
+        pair = p_ if pair is None else pair
+    window = LANE if window is None else window
+    pair = 1 if pair is None else pair
     assert window in (128, 256), window
+    assert pair in (1, 2, 4) and ACC_GROUP % pair == 0, pair
     if nnz:
         from csr_tpu import native
 
         built = native.build_microblocks(
-            nrows, ncols, rp, cols, vals_in, MR_BLOCK, window, ACC_GROUP
+            nrows, ncols, rp, cols, vals_in, MR_BLOCK, window, ACC_GROUP, pair
         )
         if built is not None:
             vals, meta, rbcb, m = built
             return MicroBlockLayout(
                 nrows, ncols, nnz, m,
                 jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
-                window,
+                window, pair,
             )
     if nnz == 0:
         m_pad = MR_BLOCK
@@ -238,7 +302,7 @@ def build_microblocks_host(
             jnp.zeros((m_pad, LANE), jnp.float32),
             jnp.zeros((m_pad, LANE), jnp.uint16),
             jnp.zeros((m_pad,), jnp.int32),
-            window,
+            window, pair,
         )
 
     cols = np.asarray(cols).astype(np.int32, copy=False)
@@ -275,8 +339,12 @@ def build_microblocks_host(
 
     grp_sizes = np.bincount(grp_id)
     grp_mrs = -(-grp_sizes // LANE)
+    # pair mode: pad each group to a pair multiple so aligned pair-length
+    # micro-row runs share one column window (build-loop address sharing)
+    grp_mrs = -(-grp_mrs // pair) * pair
     n_grps = len(grp_sizes)
     grp_rb = srb[np.flatnonzero(newgrp)]
+    grp_cb = scb[np.flatnonzero(newgrp)]
 
     # Stripes = runs of groups sharing one row window (rb).  Each stripe's
     # micro-row count is padded to a multiple of ACC_GROUP so that every
@@ -306,13 +374,21 @@ def build_microblocks_host(
     lo = np.zeros((m_pad, LANE), np.int32)
     lo[mr_idx, slot] = scol & (window - 1)
 
-    # padding micro-rows carry their stripe's rb (and cb 0, value 0) so the
-    # per-vreg rb-uniformity invariant holds everywhere
+    # stripe-padding micro-rows carry their stripe's rb (and cb 0, value 0)
+    # so the per-vreg rb-uniformity invariant holds everywhere; group
+    # micro-rows (incl. pair padding) carry the group's (rb, cb) so the
+    # pair-uniform-cb invariant holds
     rbcb = np.zeros(m_pad, np.int32)
     stripe_rb = grp_rb[np.flatnonzero(new_stripe)].astype(np.int32)
     for s_ in range(n_stripes):
         rbcb[stripe_off[s_] : stripe_off[s_] + stripe_pad[s_]] = stripe_rb[s_] << 16
-    rbcb[mr_idx] = (srb.astype(np.int32) << 16) | scb.astype(np.int32)
+    mr_grp = np.repeat(np.arange(n_grps), grp_mrs)
+    grp_mr_pos = np.repeat(grp_mr_off, grp_mrs) + (
+        np.arange(len(mr_grp)) - np.repeat(grp_cum, grp_mrs)
+    )
+    rbcb[grp_mr_pos] = (grp_rb[mr_grp].astype(np.int32) << 16) | grp_cb[
+        mr_grp
+    ].astype(np.int32)
     if m_pad > m:
         rbcb[m:] = rbcb[m - 1] & ~np.int32(0xFFFF)
 
@@ -325,5 +401,5 @@ def build_microblocks_host(
     return MicroBlockLayout(
         nrows, ncols, nnz, m,
         jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
-        window,
+        window, pair,
     )

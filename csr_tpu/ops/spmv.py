@@ -34,13 +34,15 @@ of which are full-block vector/matrix ops (no per-element work):
    output at the last grid step** instead of a per-step roll chain
    (lane rolls are expensive; this was 25% of the old step cost).
 
-Measured on TPU v5e at 10.7M nnz (d=0.01): 0.380 ms/iter -> 28.2 Gnnz/s,
-~410x over XLA's native gather+segment_sum SpMV (155 ms).  Established by
-ablation (docs/perf.md): DMA overlaps completely, u16-packed metadata
-(6 B/slot) halves stream bytes, MR_BLOCK=2048 amortizes per-step fixed
-costs (4096 exceeds the 16 MB scoped-VMEM limit), ACC_GROUP=32 with
-value-direct accumulation removes 3/4 of the output RMWs, and the
-deferred difference removes the per-step roll.
+Measured on TPU v5e at 10.7M nnz (d=0.01): 0.249 ms/iter -> 43.1 Gnnz/s =
+407 GB/s, ~600x over XLA's native gather+segment_sum SpMV (155 ms).
+Established by ablation (docs/perf.md): DMA overlaps completely,
+u16-packed metadata (6 B/slot) halves stream bytes, MR_BLOCK=2048
+amortizes per-step fixed costs (4096 exceeds the 16 MB scoped-VMEM
+limit), ACC_GROUP=32 with value-direct accumulation removes 3/4 of the
+output RMWs, the deferred difference removes the per-step roll, and
+pair-mode layouts (aligned micro-row runs sharing a column window)
+halve the scalar-core addressing that dominates the build loop.
 
 Correctness replaces reference csr/kernels/numba/__init__.py:55-67 (flat
 nnz loop) and csr/kernels/mkl (mkl_sparse_d_mv).
@@ -66,7 +68,8 @@ _NSUB = 2
 _SUB = MR_BLOCK // _NSUB
 
 
-def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
+def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch,
+                 wb, pair=1):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -84,17 +87,21 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
         # stage 1: assemble each micro-row's x window into scratch.  With
         # the 256-wide double window (wb=2) each micro-row gets two operand
         # vregs, staged in two scratch blocks (lane count per block caps at
-        # 128, the dynamic_gather limit).
+        # 128, the dynamic_gather limit).  This loop is SCALAR-CORE bound
+        # (one operand address per micro-row); pair-mode layouts guarantee
+        # aligned ``pair``-length micro-row runs share one window, so one
+        # address (and one slice, duplicated into ``pair`` sublanes) serves
+        # the whole run — measured -21%/step at pair=2 (docs/perf.md).
         def build(i, _, off=off):
             base = pl.multiple_of(off + i * 8, 8)
             rows = [[] for _ in range(wb)]
-            for s in range(8):
-                cb = rbcb_ref[base + s] & 0xFFFF
+            for s in range(8 // pair):
+                cb = rbcb_ref[base + pair * s] & 0xFFFF
                 # wb separate single-row slices: a contiguous (wb, 128)
                 # slice plus a static sublane split measures 3.4x slower
                 # (the split forces per-vreg relayouts)
                 for w in range(wb):
-                    rows[w].append(x_ref[pl.ds(cb * wb + w, 1), :])
+                    rows[w].extend([x_ref[pl.ds(cb * wb + w, 1), :]] * pair)
             for w in range(wb):
                 scratch[w][pl.ds(base, 8), :] = jnp.concatenate(
                     rows[w], axis=0
@@ -173,11 +180,12 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch, wb):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m_pad", "rb_count", "cb_count", "wb", "interpret")
+    jax.jit,
+    static_argnames=("m_pad", "rb_count", "cb_count", "wb", "pair", "interpret"),
 )
 def _spmv_call(
     vals, meta, rbcb, x_pad, m_pad: int, rb_count: int, cb_count: int,
-    interpret: bool, wb: int = 1,
+    interpret: bool, wb: int = 1, pair: int = 1,
 ):
     n_steps = m_pad // MR_BLOCK
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -194,7 +202,7 @@ def _spmv_call(
         scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.float32)] * wb,
     )
     return pl.pallas_call(
-        functools.partial(_spmv_kernel, wb=wb),
+        functools.partial(_spmv_kernel, wb=wb, pair=pair),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rb_count, LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -207,11 +215,12 @@ def _spmv_call(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m_pad", "rb_count", "cb_count", "wb", "interpret")
+    jax.jit,
+    static_argnames=("m_pad", "rb_count", "cb_count", "wb", "pair", "interpret"),
 )
 def _spmv_call_bucket(
     vals, meta, rbcb, x_pad, held, m_pad: int, rb_count: int, cb_count: int,
-    interpret: bool, wb: int = 1,
+    interpret: bool, wb: int = 1, pair: int = 1,
 ):
     """SpMV over ONE bucket of stacked micro-block layouts.
 
@@ -241,7 +250,7 @@ def _spmv_call_bucket(
         # the scalar-prefetch operand arrives as the leading ref; it is
         # consumed by the index maps only
         del held_ref
-        _spmv_kernel(*refs, wb=wb)
+        _spmv_kernel(*refs, wb=wb, pair=pair)
 
     return pl.pallas_call(
         kernel,
@@ -267,6 +276,7 @@ def spmv(layout: MicroBlockLayout, x, *, interpret: bool = False):
     m_pad = layout.vals.shape[0]
     y_mat = _spmv_call(
         layout.vals, layout.meta, layout.rbcb, x_pad,
-        m_pad, rb_count, cb_count, interpret, wb=layout.window // LANE,
+        m_pad, rb_count, cb_count, interpret,
+        wb=layout.window // LANE, pair=layout.pair,
     )
     return y_mat.reshape(-1)[: layout.nrows]

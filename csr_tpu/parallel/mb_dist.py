@@ -50,6 +50,7 @@ class DistMicroBlock:
     n_shards: int
     rows_per_shard: int  # padded local row count (uniform)
     window: int
+    pair: int
     vals: jax.Array  # (D, M, 128) f32
     meta: jax.Array  # (D, M, 128) u16
     rbcb: jax.Array  # (D, M) i32
@@ -80,7 +81,7 @@ class DistMicroBlock:
         sh = NamedSharding(mesh, P(axis))
         return DistMicroBlock(
             self.nrows, self.ncols, self.nnz, self.n_shards,
-            self.rows_per_shard, self.window,
+            self.rows_per_shard, self.window, self.pair,
             jax.device_put(self.vals, sh),
             jax.device_put(self.meta, sh),
             jax.device_put(self.rbcb, sh),
@@ -102,8 +103,13 @@ def partition_microblocks(
     rows_per = max(int(np.max(np.diff(splits))), 1)
     # round the padded shard height to whole row windows
     rows_per = -(-rows_per // mb.LANE) * mb.LANE
+    if csr.nnz:
+        w_, p_ = mb.choose_layout(rp, cis, csr.ncols)
+    else:
+        w_, p_ = mb.LANE, 1
     if window is None:
-        window = mb.choose_window(rp, cis, csr.ncols) if csr.nnz else mb.LANE
+        window = w_
+    pair = p_ if window == w_ else 1
 
     layouts = []
     for d in range(n_shards):
@@ -116,6 +122,7 @@ def partition_microblocks(
             mb.build_microblocks_host(
                 rows_per, csr.ncols, lrp, cis[s0:s1],
                 None if vls is None else vls[s0:s1], window=window,
+                pair=pair,
             )
         )
 
@@ -130,7 +137,7 @@ def partition_microblocks(
         rbcb[d, :m] = np.asarray(l.rbcb)
 
     return DistMicroBlock(
-        csr.nrows, csr.ncols, csr.nnz, n_shards, rows_per, window,
+        csr.nrows, csr.ncols, csr.nnz, n_shards, rows_per, window, pair,
         jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
         splits[:-1].astype(np.int64), np.diff(splits).astype(np.int64),
     )
@@ -161,7 +168,8 @@ def spmv(dmb: DistMicroBlock, x, mesh: Mesh, axis: str = "rows",
     )
     def _run(vals, meta, rbcb, xp):
         y = spmv_op._spmv_call(
-            vals[0], meta[0], rbcb[0], xp, m_pad, rb, cb, interpret, wb=wb
+            vals[0], meta[0], rbcb[0], xp, m_pad, rb, cb, interpret,
+            wb=wb, pair=dmb.pair,
         )
         return y.reshape(1, rb * mb.LANE)
 
@@ -199,7 +207,7 @@ def spmv_halo(dmb: DistMicroBlock, x_sharded, mesh: Mesh, axis: str = "rows",
         xp = jnp.zeros((pad_to,), jnp.float32).at[:n].set(xg[:n])
         y = spmv_op._spmv_call(
             vals[0], meta[0], rbcb[0], xp.reshape(cb, mb.LANE),
-            m_pad, rb, cb, interpret, wb=wb,
+            m_pad, rb, cb, interpret, wb=wb, pair=dmb.pair,
         )
         return y.reshape(1, rb * mb.LANE)[:, :rows_per]
 
@@ -226,6 +234,7 @@ class DistMicroBlockT:
     n_shards: int
     rows_per_shard: int  # padded local OPERAND length (uniform, lane-aligned)
     window: int
+    pair: int
     vals: jax.Array  # (D, M, 128) f32
     meta: jax.Array  # (D, M, 128) u16
     rbcb: jax.Array  # (D, M) i32
@@ -251,7 +260,7 @@ class DistMicroBlockT:
         sh = NamedSharding(mesh, P(axis))
         return DistMicroBlockT(
             self.nrows, self.ncols, self.nnz, self.n_shards,
-            self.rows_per_shard, self.window,
+            self.rows_per_shard, self.window, self.pair,
             jax.device_put(self.vals, sh),
             jax.device_put(self.meta, sh),
             jax.device_put(self.rbcb, sh),
@@ -289,15 +298,19 @@ def partition_microblocks_t(
         )
         shard_t.append((t_rps, t_cis, t_vls))
 
+    # uniform (window, pair): 256 only when every shard's cost model
+    # picks it; pair = the most conservative per-shard choice
+    choices = [
+        mb.choose_layout(t[0], t[1], rows_per) for t in shard_t
+    ] if csr.nnz else [(mb.LANE, 1)]
     if window is None:
-        # uniform width: 256 only when every shard's cost model picks it
-        window = 256 if csr.nnz and all(
-            mb.choose_window(t[0], t[1], rows_per) == 256 for t in shard_t
-        ) else mb.LANE
+        window = 256 if all(c[0] == 256 for c in choices) else mb.LANE
+    pair = min(c[1] for c in choices)
 
     layouts = [
         mb.build_microblocks_host(
-            csr.ncols, rows_per, t_rps, t_cis, t_vls, window=window
+            csr.ncols, rows_per, t_rps, t_cis, t_vls, window=window,
+            pair=pair,
         )
         for t_rps, t_cis, t_vls in shard_t
     ]
@@ -313,7 +326,7 @@ def partition_microblocks_t(
         rbcb[d, :m] = np.asarray(l.rbcb)
 
     return DistMicroBlockT(
-        csr.nrows, csr.ncols, csr.nnz, n_shards, rows_per, window,
+        csr.nrows, csr.ncols, csr.nnz, n_shards, rows_per, window, pair,
         jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
         splits[:-1].astype(np.int64), np.diff(splits).astype(np.int64),
     )
@@ -352,7 +365,7 @@ def spmv_t(dmbt: DistMicroBlockT, y_sharded, mesh: Mesh, axis: str = "rows",
         xp = jnp.zeros((pad_to,), jnp.float32).at[: yv.shape[0]].set(yv)
         out = spmv_op._spmv_call(
             vals[0], meta[0], rbcb[0], xp.reshape(cb, mb.LANE),
-            m_pad, rb, cb, interpret, wb=wb,
+            m_pad, rb, cb, interpret, wb=wb, pair=dmbt.pair,
         ).reshape(-1)
         if scatter:
             part = jnp.zeros((out_scat,), jnp.float32).at[:out_pad].set(out)

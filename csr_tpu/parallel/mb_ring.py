@@ -57,6 +57,7 @@ class RingMicroBlock:
     rows_per_shard: int  # padded local row count (uniform)
     cols_per_shard: int  # operand slice per device (window-aligned)
     window: int
+    pair: int
     vals: jax.Array  # (D, D, M, 128) f32
     meta: jax.Array  # (D, D, M, 128) u16
     rbcb: jax.Array  # (D, D, M) i32
@@ -81,7 +82,7 @@ class RingMicroBlock:
         sh = NamedSharding(mesh, P(axis))
         return RingMicroBlock(
             self.nrows, self.ncols, self.nnz, self.n_shards,
-            self.rows_per_shard, self.cols_per_shard, self.window,
+            self.rows_per_shard, self.cols_per_shard, self.window, self.pair,
             jax.device_put(self.vals, sh),
             jax.device_put(self.meta, sh),
             jax.device_put(self.rbcb, sh),
@@ -101,8 +102,13 @@ def partition_ring_mb(
         if csr.values is None
         else np.asarray(csr.values, dtype=np.float32)
     )
+    if csr.nnz:
+        w_, p_ = mb.choose_layout(rp, cis, csr.ncols)
+    else:
+        w_, p_ = mb.LANE, 1
     if window is None:
-        window = mb.choose_window(rp, cis, csr.ncols) if csr.nnz else mb.LANE
+        window = w_
+    pair = p_ if window == w_ else 1
 
     splits = balanced_row_splits(rp, n_shards)
     rows_per = max(int(np.max(np.diff(splits))), 1)
@@ -134,7 +140,7 @@ def partition_ring_mb(
             row_buckets.append(
                 mb.build_microblocks_host(
                     rows_per, cols_per, brp, bc[order], lvls[sel][order],
-                    window=window,
+                    window=window, pair=pair,
                 )
             )
         layouts.append(row_buckets)
@@ -154,6 +160,7 @@ def partition_ring_mb(
 
     return RingMicroBlock(
         csr.nrows, csr.ncols, csr.nnz, n_shards, rows_per, cols_per, window,
+        pair,
         jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
         splits[:-1].astype(np.int64), np.diff(splits).astype(np.int64),
     )
@@ -202,7 +209,7 @@ def spmv_ring_mb(rmb: RingMicroBlock, x_sharded, mesh: Mesh,
             )
             y = spmv_op._spmv_call_bucket(
                 vals[0], meta[0], rbcb[0], xp.reshape(cb, mb.LANE),
-                held[None], m_pad, rb, cb, interpret, wb=wb,
+                held[None], m_pad, rb, cb, interpret, wb=wb, pair=rmb.pair,
             )
             return (x_next, acc + y.reshape(-1)[:rows_per])
 

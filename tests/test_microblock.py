@@ -11,18 +11,19 @@ from hypothesis import given
 import hypothesis.strategies as st
 
 from csr_tpu.ops.microblock import (
-    LANE, build_microblocks, build_microblocks_host, choose_window,
-    estimate_microrows,
+    LANE, build_microblocks, build_microblocks_host, choose_layout,
+    choose_window, estimate_microrows,
 )
 from csr_tpu.test_utils import csrs
 from util import to_dense
 
 
-@pytest.mark.parametrize("window", [128, 256])
+@pytest.mark.parametrize("window,pair", [(128, 1), (128, 2), (256, 1), (256, 4)])
 @given(csr=csrs(values=True))
-def test_microblock_invariants(window, csr):
-    mb = build_microblocks(csr, window=window)
+def test_microblock_invariants(window, pair, csr):
+    mb = build_microblocks(csr, window=window, pair=pair)
     assert mb.window == window
+    assert mb.pair == pair
     shift = window.bit_length() - 1
     vals = np.asarray(mb.vals)
     lo, epos = mb.unpack_meta()
@@ -52,6 +53,11 @@ def test_microblock_invariants(window, csr):
     ngrp = (len(rb) // ACC_GROUP) * ACC_GROUP
     rbg = rb[:ngrp].reshape(-1, ACC_GROUP)
     assert np.all(rbg == rbg[:, :1])
+
+    # pair-mode invariant: aligned pair-length micro-row runs share one
+    # column window (the build loop issues one operand address per run)
+    cbp = cb.reshape(-1, pair)
+    assert np.all(cbp == cbp[:, :1])
     if csr.nnz:
         assert rb.max() <= (csr.nrows - 1) >> 7
         assert cb.max() <= (csr.ncols - 1) >> shift
@@ -86,21 +92,24 @@ def test_microblock_fill(csr):
 
 
 @given(csrs())
-def test_window_chooser(csr):
-    """The chooser picks a valid window and its estimates match the builds."""
+def test_layout_chooser(csr):
+    """The chooser picks a valid (window, pair) and its estimates match
+    the builds."""
     rp = np.asarray(csr.rowptrs)
     cols = np.asarray(csr.colinds)
-    w = choose_window(rp, cols)
-    assert w in (128, 256)
+    w, p = choose_layout(rp, cols)
+    assert w in (128, 256) and p in (1, 2, 4)
+    assert choose_window(rp, cols) == w
     for window in (128, 256):
-        est = estimate_microrows(rp, cols, window)
-        built = build_microblocks(csr, window=window)
-        assert est == built.n_microrows
+        for pair in (1, 2, 4):
+            est = estimate_microrows(rp, cols, window, pair=pair)
+            built = build_microblocks(csr, window=window, pair=pair)
+            assert est == built.n_microrows
 
 
-@pytest.mark.parametrize("window", [128, 256])
+@pytest.mark.parametrize("window,pair", [(128, 1), (128, 2), (256, 1), (256, 4)])
 @given(csr=csrs(values=True))
-def test_native_build_matches_numpy(window, csr):
+def test_native_build_matches_numpy(window, pair, csr):
     """The C++ layout builder is bit-exact with the numpy reference
     (the native module's role, reference: csr/kernels/mkl/mkl_ops.c)."""
     from csr_tpu import native
@@ -116,7 +125,8 @@ def test_native_build_matches_numpy(window, csr):
     from csr_tpu.ops.microblock import ACC_GROUP
 
     nat = native.build_microblocks(
-        csr.nrows, csr.ncols, rp, cols, vals, MR_BLOCK, window, ACC_GROUP
+        csr.nrows, csr.ncols, rp, cols, vals, MR_BLOCK, window, ACC_GROUP,
+        pair,
     )
     assert nat is not None
 
@@ -124,7 +134,7 @@ def test_native_build_matches_numpy(window, csr):
     native.build_microblocks = lambda *a, **k: None
     try:
         ref = build_microblocks_host(
-            csr.nrows, csr.ncols, rp, cols, vals, window=window
+            csr.nrows, csr.ncols, rp, cols, vals, window=window, pair=pair
         )
     finally:
         native.build_microblocks = saved

@@ -167,10 +167,11 @@ def test_spmv_double_window_wide():
     x = rng.standard_normal(3000).astype(np.float32)
     ref = m @ x
     for window in (128, 256):
-        lay = mb.build_microblocks(csr, window=window)
-        assert lay.window == window
-        y = np.asarray(spmv_op.spmv(lay, jnp.asarray(x), interpret=True))
-        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)
+        for pair in (1, 2, 4):
+            lay = mb.build_microblocks(csr, window=window, pair=pair)
+            assert lay.window == window and lay.pair == pair
+            y = np.asarray(spmv_op.spmv(lay, jnp.asarray(x), interpret=True))
+            np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)
 
 
 def test_spmm_double_window_wide():

@@ -39,3 +39,49 @@ def test_transpose_rows_sorted_by_row(csr):
     for i in range(t.nrows):
         row = cis[rps[i] : rps[i + 1]]
         assert np.all(np.diff(row) >= 0)
+
+
+@given(csrs(values=True))
+def test_transpose_without_values(csr):
+    """``transpose(include_values=False)`` drops values: structure-only
+    result densifies to 1s (reference: tests/test_transpose.py
+    test_csr_transpose_coords)."""
+    t = csr.transpose(include_values=False)
+    assert t.values is None
+    np.testing.assert_array_equal(to_dense(t) != 0, to_dense(csr).T != 0)
+
+
+def test_transpose_small_exact():
+    """Fixed small case with exact rowptr expectations (reference:
+    tests/test_transpose.py test_csr_transpose)."""
+    from csr_tpu import CSR
+
+    rows = np.array([0, 0, 1, 3], dtype=np.int32)
+    cols = np.array([1, 2, 0, 1], dtype=np.int32)
+    vals = np.arange(4, dtype=np.float32)
+    csr = CSR.from_coo(rows, cols, vals)
+    csc = csr.transpose()
+    assert csc.nrows == csr.ncols
+    assert csc.ncols == csr.nrows
+    np.testing.assert_array_equal(np.asarray(csc.rowptrs), [0, 1, 3, 4])
+    assert float(np.asarray(csc.values).sum()) == float(vals.sum())
+    for r, c, v in zip(rows, cols, vals):
+        assert float(np.asarray(csc.row(c))[r]) == v
+
+
+def test_transpose_empty_column():
+    """Transpose with empty output rows (a zeroed column) keeps exact
+    scipy rowptr agreement (reference: test_csr_transpose_erow)."""
+    import scipy.sparse as sps
+    from csr_tpu import CSR
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((40, 25))
+    mat[mat <= 0] = 0
+    mat[:, 0:2] = 0
+    smat = sps.csr_matrix(mat)
+    csr = CSR.from_scipy(smat)
+    t = csr.transpose()
+    st = smat.T.tocsr()
+    np.testing.assert_array_equal(np.asarray(t.rowptrs), st.indptr)
+    np.testing.assert_allclose(to_dense(t), st.toarray(), rtol=1e-6)
