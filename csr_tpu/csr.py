@@ -74,7 +74,8 @@ class CSR:
     """
 
     __slots__ = ("nrows", "ncols", "rowptrs", "colinds", "_values", "_host",
-                 "_mb_layout_cache", "_mb_layout_t_cache")
+                 "_mb_layout_cache", "_mb_layout_t_cache", "_shard_cache",
+                 "_mb_large_cache", "_mb_large_t_cache")
 
     def __init__(self, nrows, ncols, nnz, rps, cis, vs, _cast=True):
         assert nrows >= 0
@@ -665,8 +666,24 @@ class CSR:
         """Shard by rows so each shard has at most ``tgt_nnz`` stored
         entries (reference: csr/csr.py:599-621).  This is the single-device
         ancestor of the mesh row partitioner in
-        :mod:`csr_tpu.parallel.partition`."""
+        :mod:`csr_tpu.parallel.partition`.
+
+        The shard list is cached on this matrix (identity-keyed on the
+        three buffers + the target), so repeated over-capacity multiplies
+        reuse the same shard objects — and therefore each shard's cached
+        device layout: the second ``mult_vec`` on a >max_nnz matrix packs
+        nothing.  The reference gets the same effect by reusing B's handle
+        across shards (reference: csr/csr.py:565)."""
         assert tgt_nnz > 0
+        cached = getattr(self, "_shard_cache", None)
+        if (
+            cached is not None
+            and cached[0] is self.rowptrs
+            and cached[1] is self.colinds
+            and cached[2] is self._values
+            and cached[3] == tgt_nnz
+        ):
+            return cached[4]
 
         rowptrs_host = np.asarray(self.rowptrs)
         rest = self
@@ -685,6 +702,9 @@ class CSR:
             rest_off += split
 
         shards.append(rest)
+        self._shard_cache = (
+            self.rowptrs, self.colinds, self._values, tgt_nnz, shards
+        )
         return shards
 
     @classmethod

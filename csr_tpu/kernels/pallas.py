@@ -192,7 +192,8 @@ def release_handle(h, drop_cache: bool = False):
     h._xla_handle = None
     h._dense = None
     if drop_cache:
-        for attr in ("_mb_layout_cache", "_mb_layout_t_cache"):
+        for attr in ("_mb_layout_cache", "_mb_layout_t_cache",
+                     "_mb_large_cache", "_mb_large_t_cache"):
             try:
                 setattr(h.csr, attr, None)
             except AttributeError:
@@ -221,15 +222,74 @@ def _pallas_viable(csr, v_dtype, transpose: bool = False) -> bool:
     return rb <= _VMEM_WINDOWS and cb <= _VMEM_WINDOWS
 
 
+def _host_arrays(csr):
+    host = getattr(csr, "_host", None)
+    if host is not None:
+        return host
+    return (
+        np.asarray(csr.rowptrs),
+        np.asarray(csr.colinds),
+        None if csr.values is None else np.asarray(csr.values),
+    )
+
+
+def _cached_large(csr, transpose: bool):
+    """Chunk/panel layouts for matrices whose operand or output exceeds
+    the VMEM windows budget, cached on the CSR (identity-keyed like
+    :func:`_cached_layout`).  Keeps any-shape SpMV on the micro-block
+    kernel instead of the ~1000x-slower XLA gather path
+    (reference anchor: any-shape flat loop,
+    csr/kernels/numba/__init__.py:55-67)."""
+    attr = "_mb_large_t_cache" if transpose else "_mb_large_cache"
+    cached = getattr(csr, attr, None)
+    if (
+        cached is not None
+        and cached[0] is csr.rowptrs
+        and cached[1] is csr.colinds
+        and cached[2] is csr.values
+    ):
+        return cached[3]
+    rp, cis, vals = _host_arrays(csr)
+    nrows, ncols = csr.nrows, csr.ncols
+    if transpose:
+        from csr_tpu import native
+
+        vals32 = None if vals is None else np.asarray(vals, np.float32)
+        rp, cis, vals = native.transpose_host(nrows, ncols, rp, cis, vals32)
+        nrows, ncols = ncols, nrows
+    chunks = _spmv_op.build_large_layouts(
+        nrows, ncols, rp, cis, vals, max_windows=_VMEM_WINDOWS
+    )
+    trace(
+        "layout-build-large",
+        nnz=csr.nnz,
+        chunks=len(chunks),
+        panels=sum(len(p) for _, p in chunks),
+        transpose=transpose,
+    )
+    try:
+        setattr(csr, attr, (csr.rowptrs, csr.colinds, csr.values, chunks))
+    except AttributeError:
+        pass
+    return chunks
+
+
 def mult_vec(h, v):
-    """SpMV via the micro-block Pallas kernel, with XLA fallback for f64 or
-    matrices whose dense operand exceeds VMEM."""
-    if not _pallas_viable(h.csr, v.dtype):
-        return _xla.mult_vec(h.xla_handle, v)
-    out = _spmv_op.spmv(h.layout, v, interpret=_interpret_mode())
+    """SpMV via the micro-block Pallas kernel.  f64 falls back to the XLA
+    path; matrices whose operand/output exceed VMEM run the chunk/panel
+    micro-block path (no performance cliff at large shapes)."""
     out_dtype = _xla._result_dtype(
         h.csr._required_values().dtype, jnp.asarray(v).dtype
     )
+    if not _pallas_viable(h.csr, v.dtype):
+        if h.csr.nnz == 0 or jnp.dtype(out_dtype) == jnp.float64:
+            return _xla.mult_vec(h.xla_handle, v)
+        chunks = _cached_large(h.csr, transpose=False)
+        out = _spmv_op.spmv_large(
+            chunks, h.csr.ncols, v, interpret=_interpret_mode()
+        )
+        return out.astype(out_dtype)
+    out = _spmv_op.spmv(h.layout, v, interpret=_interpret_mode())
     return out.astype(out_dtype)
 
 
@@ -238,12 +298,18 @@ def mult_vec_t(h, v):
     layout of the transpose (no dense scatter-add over the column space;
     the reference reaches A^T structurally the same way,
     reference: csr/kernels/numba/multiply.py:41-57)."""
-    if not _pallas_viable(h.csr, v.dtype, transpose=True):
-        return _xla.mult_vec_t(h.xla_handle, v)
-    out = _spmv_op.spmv(h.layout_t, v, interpret=_interpret_mode())
     out_dtype = _xla._result_dtype(
         h.csr._required_values().dtype, jnp.asarray(v).dtype
     )
+    if not _pallas_viable(h.csr, v.dtype, transpose=True):
+        if h.csr.nnz == 0 or jnp.dtype(out_dtype) == jnp.float64:
+            return _xla.mult_vec_t(h.xla_handle, v)
+        chunks = _cached_large(h.csr, transpose=True)
+        out = _spmv_op.spmv_large(
+            chunks, h.csr.nrows, v, interpret=_interpret_mode()
+        )
+        return out.astype(out_dtype)
+    out = _spmv_op.spmv(h.layout_t, v, interpret=_interpret_mode())
     return out.astype(out_dtype)
 
 

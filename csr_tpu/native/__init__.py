@@ -181,6 +181,9 @@ def plan_microrows(nrows, ncols, rowptrs, cols, window: int,
     """Native micro-row count for a given (window, pair) layout choice
     (for the layout chooser), or None when the native library is
     unavailable."""
+    # the native group mask arithmetic (gmask = pair-1) is only valid for
+    # powers of two; reject bad callers here rather than miscounting
+    assert pair in (1, 2, 4), pair
     lib = get_lib()
     if lib is None or not hasattr(lib, "csrt_mb_plan"):
         return None

@@ -32,9 +32,13 @@ fraction of memory speed-of-light instead of being gather-bound.
 
 The price is padding: the expected fill of a micro-row is roughly
 ``min(1, 128 * 128 * density / 128)`` for uniformly random matrices, so
-density >= ~0.006 packs densely while very sparse matrices pad.  The
-kernel backend falls back to the XLA path when fill is poor (see
-:mod:`csr_tpu.kernels.pallas`).
+density >= ~0.006 packs densely while very sparse matrices pad.  Poor
+fill does NOT route away from this kernel: even at fill ~0.01 the
+padded micro-block stream beats XLA's gather/segment-sum path (measured
+~0.06 Gnnz/s, ~1000x off roofline — docs/perf.md), so the pallas
+backend uses the micro-block kernel whenever it is *viable* (f32 and
+operand/output within VMEM; see ``_pallas_viable`` in
+:mod:`csr_tpu.kernels.pallas`) and pays the padding.
 
 **Double-width windows.** At moderate densities the 128-column window is
 the fill bottleneck (d=0.01 on 32k^2: fill 0.64).  The layout therefore
@@ -175,6 +179,7 @@ def estimate_microrows(rp, cols, window: int, ncols: int | None = None,
     ``ncols`` should be the matrix's true column count so the native
     planner's rb/cb range check agrees with the actual build; it is
     synthesized from ``max(cols)`` only when not provided."""
+    assert pair in (1, 2, 4), pair
     nnz = int(len(cols))
     if nnz == 0:
         return 0

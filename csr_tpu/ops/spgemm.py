@@ -62,49 +62,79 @@ def dense_fits(a_nrows: int, b_nrows: int, b_ncols: int, n_out: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_expand", "out_dtype"))
+_SENT = np.int32(2**31 - 1)  # padding sentinel: sorts after every real row
+
+
+def _bucket(n: int, floor: int = 4096) -> int:
+    """Round ``n`` up to a power of two (>= floor).
+
+    ``_expand``/``_compress`` are jitted on static sizes; data-dependent
+    chunk sizes would recompile the multi-million-element sort pipeline
+    per chunk (round-3 verdict item 6).  Power-of-two padding makes the
+    compile count logarithmic in the size range — a large product with
+    budget-sized chunks compiles each stage once or twice."""
+    return max(floor, 1 << max(int(n) - 1, 0).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "out_dtype"))
 def _expand(a_vals, a_cols, a_rids, b_rps, b_cols, b_vals, ex_cum,
-            n_expand: int, out_dtype):
+            n_valid, n_pad: int, out_dtype):
     """Materialize and sort the expansion triples for one chunk.
 
-    Returns (rows, cols, vals) sorted lexicographically by (row, col),
-    plus the new-coordinate boundary flags."""
-    t = jnp.arange(n_expand, dtype=ex_cum.dtype)
+    ``n_pad`` (static) is the bucket-padded triple count; ``n_valid``
+    (traced) the true expansion size.  Padding triples carry sentinel
+    coordinates and zero values, so they sort to the tail and never set a
+    boundary flag.  Returns (rows, cols, vals) sorted lexicographically
+    by (row, col), plus the new-coordinate boundary flags."""
+    nnz_a = a_cols.shape[0]
+    t = jnp.arange(n_pad, dtype=ex_cum.dtype)
+    valid = t < n_valid
     # which A entry each triple expands from (ex_cum is inclusive)
     e = jnp.searchsorted(ex_cum, t, side="right").astype(jnp.int32)
+    e = jnp.minimum(e, nnz_a - 1)
     start = jnp.where(e > 0, ex_cum[jnp.maximum(e - 1, 0)], 0)
     off = t - start
     src = b_rps[a_cols[e]].astype(ex_cum.dtype) + off
+    src = jnp.clip(src, 0, max(b_cols.shape[0] - 1, 0))
 
-    rows = a_rids[e]
-    cols = b_cols[src].astype(jnp.int32)
-    vals = a_vals.astype(out_dtype)[e] * b_vals.astype(out_dtype)[src]
+    rows = jnp.where(valid, a_rids[e], _SENT)
+    cols = jnp.where(valid, b_cols[src].astype(jnp.int32), _SENT)
+    vals = jnp.where(
+        valid, a_vals.astype(out_dtype)[e] * b_vals.astype(out_dtype)[src], 0
+    )
 
     # lexicographic (row, col): stable sort by minor key, then major
     perm = jnp.argsort(cols, stable=True)
     perm = perm[jnp.argsort(rows[perm], stable=True)]
     rows, cols, vals = rows[perm], cols[perm], vals[perm]
 
-    prev_r = jnp.concatenate([rows[:1] - 1, rows[:-1]]) if n_expand else rows
-    prev_c = jnp.concatenate([cols[:1] - 1, cols[:-1]]) if n_expand else cols
-    new = (rows != prev_r) | (cols != prev_c)
+    prev_r = jnp.concatenate([rows[:1] - 1, rows[:-1]]) if n_pad else rows
+    prev_c = jnp.concatenate([cols[:1] - 1, cols[:-1]]) if n_pad else cols
+    new = ((rows != prev_r) | (cols != prev_c)) & (rows != _SENT)
     return rows, cols, vals, new
 
 
-@functools.partial(jax.jit, static_argnames=("nnz_out", "nrows"))
-def _compress(rows, cols, vals, new, nnz_out: int, nrows: int):
-    """Collapse duplicate coordinates into the output CSR arrays."""
+@functools.partial(jax.jit, static_argnames=("nnz_pad", "nrows_pad"))
+def _compress(rows, cols, vals, new, nnz_valid, nnz_pad: int, nrows_pad: int):
+    """Collapse duplicate coordinates into the output CSR arrays.
+
+    ``nnz_pad``/``nrows_pad`` (static) bucket the output; entries past
+    ``nnz_valid`` (traced) are garbage and rowptr slots past the true row
+    count are constant — the caller slices both off."""
     seg = jnp.cumsum(new.astype(big_int())) - 1
     out_vals = jax.ops.segment_sum(
-        vals, seg, num_segments=max(nnz_out, 1), indices_are_sorted=True
+        vals, seg, num_segments=max(nnz_pad, 1), indices_are_sorted=True
     )
-    first = jnp.nonzero(new, size=nnz_out)[0]
+    first = jnp.nonzero(new, size=nnz_pad, fill_value=0)[0]
     out_cols = cols[first].astype(COLIND_DTYPE)
-    out_rows = rows[first]
-    counts = jnp.bincount(out_rows, length=nrows).astype(big_int())
-    rps = jnp.zeros(nrows + 1, dtype=big_int())
+    j = jnp.arange(nnz_pad)
+    out_rows = jnp.where(j < nnz_valid, rows[first], nrows_pad)
+    counts = jnp.bincount(
+        out_rows, length=nrows_pad + 1
+    )[:nrows_pad].astype(big_int())
+    rps = jnp.zeros(nrows_pad + 1, dtype=big_int())
     rps = rps.at[1:].set(jnp.cumsum(counts))
-    return rps, out_cols, out_vals[:nnz_out]
+    return rps, out_cols, out_vals[:nnz_pad]
 
 
 def _esc_rows(a_vals, a_rps, a_cols, b_rps, b_cols, b_vals,
@@ -128,14 +158,27 @@ def _esc_rows(a_vals, a_rps, a_cols, b_rps, b_cols, b_vals,
                    jnp.zeros(0, COLIND_DTYPE), jnp.zeros(0, out_dtype))
 
     a_rids = structure._row_ids(a_rps, nrows, nnz_a)
+    # bucket the chunk's A arrays too: chunk nnz is data-dependent and
+    # would otherwise key a fresh compile per chunk shape
+    nnz_a_pad = _bucket(nnz_a, floor=1024)
+    if nnz_a_pad > nnz_a:
+        pad = nnz_a_pad - nnz_a
+        a_vals = jnp.pad(a_vals, (0, pad))
+        a_cols = jnp.pad(a_cols, (0, pad))
+        a_rids = jnp.pad(a_rids, (0, pad))
+        ex_cum = jnp.pad(ex_cum, (0, pad), mode="edge")
     rows, cols, vals, new = _expand(
         a_vals, a_cols, a_rids, b_rps, b_cols, b_vals, ex_cum,
-        n_expand, out_dtype,
+        jnp.asarray(n_expand, ex_cum.dtype), _bucket(n_expand), out_dtype,
     )
     nnz_out = int(jnp.sum(new))
-    rps, out_cols, out_vals = _compress(rows, cols, vals, new, nnz_out, nrows)
-    return CSR(nrows, ncols_out, nnz_out, rps, out_cols, out_vals,
-               _cast=False)
+    nrows_pad = _bucket(nrows, floor=1024)
+    rps, out_cols, out_vals = _compress(
+        rows, cols, vals, new, nnz_out, _bucket(nnz_out, floor=1024),
+        nrows_pad,
+    )
+    return CSR(nrows, ncols_out, nnz_out, rps[: nrows + 1],
+               out_cols[:nnz_out], out_vals[:nnz_out], _cast=False)
 
 
 def _chunk_splits(a_rps_host: np.ndarray, b_row_nnz_host: np.ndarray,

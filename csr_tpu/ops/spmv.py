@@ -52,12 +52,15 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .microblock import ACC_GROUP, LANE, MR_BLOCK, MicroBlockLayout
+from .microblock import (
+    ACC_GROUP, LANE, MR_BLOCK, MicroBlockLayout, build_microblocks_host,
+)
 
 #: independent sub-blocks per grid step.  The stages of one sub-block
 #: form a serial chain (build -> gather -> matmul -> boundary); tracing
@@ -264,6 +267,96 @@ def _spmv_call_bucket(
         ),
         interpret=interpret,
     )(held, rbcb, vals, meta, x_pad)
+
+
+def build_large_layouts(
+    nrows: int, ncols: int, rp, cols, vals, *, max_windows: int
+):
+    """Chunk/panel micro-block layouts for matrices whose operand or
+    output exceeds the kernel's VMEM residency budget.
+
+    The kernel keeps the whole dense operand (``cb_count`` 128-lane vregs)
+    and output (``rb_count``) in VMEM; ``max_windows`` caps each.  Rows
+    are split into chunks of ``max_windows * 128`` rows and each chunk's
+    columns into panels of ``max_windows`` windows; each (chunk, panel)
+    submatrix packs independently (its (rb, cb) groups — and therefore
+    its fill — are identical to the unsplit layout: panels are unions of
+    whole windows).  SpMV then runs one kernel call per panel,
+    accumulating panel partials, and concatenates chunk outputs — the
+    any-shape behavior of the reference's flat loop
+    (reference: csr/kernels/numba/__init__.py:55-67, 2.5B-nnz smoke
+    tests/test_mkl.py:94-125) without the VMEM cliff.
+
+    Returns a list of row chunks: ``(chunk_nrows, [(col_window_off,
+    layout), ...])`` with empty panels dropped.
+    """
+    rp = np.asarray(rp)
+    cols = np.asarray(cols)
+    chunk_rows = max_windows * LANE
+    panel_cols = max_windows * LANE
+    chunks = []
+    for r0 in range(0, max(nrows, 1), chunk_rows):
+        r1 = min(nrows, r0 + chunk_rows)
+        s0, s1 = int(rp[r0]), int(rp[r1])
+        crp = (rp[r0 : r1 + 1] - rp[r0]).astype(np.int64)
+        ccols = cols[s0:s1]
+        cvals = None if vals is None else vals[s0:s1]
+        cn = r1 - r0
+        panels = []
+        n_panels = -(-max(ncols, 1) // panel_cols)
+        if n_panels <= 1:
+            if s1 > s0:
+                panels.append((0, build_microblocks_host(
+                    cn, ncols, crp, ccols, cvals)))
+        else:
+            rows = np.repeat(np.arange(cn, dtype=np.int64), np.diff(crp))
+            pid = ccols.astype(np.int64) // panel_cols
+            for p in range(n_panels):
+                mask = pid == p
+                if not mask.any():
+                    continue
+                pc = (ccols[mask] - p * panel_cols).astype(np.int32)
+                prp = np.zeros(cn + 1, np.int64)
+                np.cumsum(np.bincount(rows[mask], minlength=cn), out=prp[1:])
+                pv = None if cvals is None else cvals[mask]
+                pncols = min(ncols - p * panel_cols, panel_cols)
+                panels.append((p * max_windows, build_microblocks_host(
+                    cn, pncols, prp, pc, pv)))
+        chunks.append((cn, panels))
+    return chunks
+
+
+def spmv_large(chunks, ncols: int, x, *, interpret: bool = False):
+    """``A @ x`` over :func:`build_large_layouts` output.  Returns f32."""
+    x = jnp.asarray(x).astype(jnp.float32)
+    n_cb = max(-(-ncols // LANE), 1)
+    x_pad = jnp.zeros((n_cb * LANE,), jnp.float32).at[:ncols].set(x)
+    x_pad = x_pad.reshape(n_cb, LANE)
+    outs = []
+    for cn, panels in chunks:
+        acc = None
+        for cb_off, layout in panels:
+            cb_count = max(layout.cb_count, 1)
+            xp = jax.lax.dynamic_slice(
+                x_pad, (cb_off, 0), (min(cb_count, n_cb - cb_off), LANE)
+            )
+            if xp.shape[0] < cb_count:  # last panel: pad to whole windows
+                xp = jnp.zeros((cb_count, LANE), jnp.float32).at[
+                    : xp.shape[0]
+                ].set(xp)
+            y = _spmv_call(
+                layout.vals, layout.meta, layout.rbcb, xp,
+                layout.vals.shape[0], max(layout.rb_count, 1), cb_count,
+                interpret, wb=layout.window // LANE, pair=layout.pair,
+            )
+            acc = y if acc is None else acc + y
+        if acc is None:
+            outs.append(jnp.zeros((cn,), jnp.float32))
+        else:
+            outs.append(acc.reshape(-1)[:cn])
+    if not outs:
+        return jnp.zeros((0,), jnp.float32)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def spmv(layout: MicroBlockLayout, x, *, interpret: bool = False):

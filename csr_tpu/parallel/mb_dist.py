@@ -299,13 +299,16 @@ def partition_microblocks_t(
         shard_t.append((t_rps, t_cis, t_vls))
 
     # uniform (window, pair): 256 only when every shard's cost model
-    # picks it; pair = the most conservative per-shard choice
+    # picks it; pair = the most conservative per-shard choice, counting a
+    # shard's preference only when it was derived at the final window (a
+    # pair chosen under the other window's cost tradeoffs may pad fill
+    # that pair=1 would avoid — mirror partition_microblocks)
     choices = [
         mb.choose_layout(t[0], t[1], rows_per) for t in shard_t
     ] if csr.nnz else [(mb.LANE, 1)]
     if window is None:
         window = 256 if all(c[0] == 256 for c in choices) else mb.LANE
-    pair = min(c[1] for c in choices)
+    pair = min(c[1] if c[0] == window else 1 for c in choices)
 
     layouts = [
         mb.build_microblocks_host(

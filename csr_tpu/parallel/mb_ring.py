@@ -38,7 +38,7 @@ from jax import shard_map
 
 from csr_tpu.ops import microblock as mb
 from csr_tpu.ops import spmv as spmv_op
-from .partition import balanced_row_splits
+from .partition import balanced_col_splits, balanced_row_splits
 
 
 @dataclass
@@ -63,6 +63,7 @@ class RingMicroBlock:
     rbcb: jax.Array  # (D, D, M) i32
     row_offset: np.ndarray  # (D,) host
     nrows_local: np.ndarray  # (D,) host
+    col_offset: np.ndarray = None  # (D+1,) host: nnz-balanced column splits
 
     @property
     def rb_count(self) -> int:
@@ -86,7 +87,7 @@ class RingMicroBlock:
             jax.device_put(self.vals, sh),
             jax.device_put(self.meta, sh),
             jax.device_put(self.rbcb, sh),
-            self.row_offset, self.nrows_local,
+            self.row_offset, self.nrows_local, self.col_offset,
         )
 
 
@@ -113,8 +114,11 @@ def partition_ring_mb(
     splits = balanced_row_splits(rp, n_shards)
     rows_per = max(int(np.max(np.diff(splits))), 1)
     rows_per = -(-rows_per // mb.LANE) * mb.LANE
-    # window-aligned column shards: every micro-row lands in one bucket
-    cols_per = -(-csr.ncols // n_shards)
+    # nnz-balanced, window-aligned column shards: every micro-row lands in
+    # one bucket, and buckets stay near nnz/D even on column-skewed
+    # matrices (uniform splits inflate the padded max bucket up to Dx)
+    csplits = balanced_col_splits(cis, csr.ncols, n_shards, align=window)
+    cols_per = max(int(np.max(np.diff(csplits))), 1)
     cols_per = -(-cols_per // window) * window
 
     layouts = []
@@ -127,11 +131,11 @@ def partition_ring_mb(
             np.repeat(np.arange(r0, r1), np.diff(rp[r0 : r1 + 1]))
             - r0
         ).astype(np.int64)
-        shard_of_col = lcis // cols_per
+        shard_of_col = np.searchsorted(csplits[1:], lcis, side="right")
         row_buckets = []
         for k in range(n_shards):
             sel = shard_of_col == k
-            bc = (lcis[sel] - k * cols_per).astype(np.int32)
+            bc = (lcis[sel] - csplits[k]).astype(np.int32)
             br = lrids[sel]
             # rebuild a local CSR for the bucket
             brp = np.zeros(rows_per + 1, np.int64)
@@ -163,16 +167,22 @@ def partition_ring_mb(
         pair,
         jnp.asarray(vals), jnp.asarray(meta), jnp.asarray(rbcb),
         splits[:-1].astype(np.int64), np.diff(splits).astype(np.int64),
+        csplits,
     )
 
 
 def scatter_x(rmb: RingMicroBlock, x, mesh: Mesh, axis: str = "rows"):
-    """Column-shard the dense operand: (D, cols_per_shard), zero-padded."""
+    """Column-shard the dense operand along the nnz-balanced splits:
+    (D, cols_per_shard), each shard's slice zero-padded to the uniform
+    width."""
     d, cp = rmb.n_shards, rmb.cols_per_shard
-    xp = np.zeros(d * cp, np.float32)
+    xs = np.zeros((d, cp), np.float32)
     xv = np.asarray(x, np.float32)
-    xp[: len(xv)] = xv
-    arr = jnp.asarray(xp.reshape(d, cp))
+    cs = rmb.col_offset
+    for k in range(d):
+        w = int(cs[k + 1] - cs[k])
+        xs[k, :w] = xv[cs[k] : cs[k + 1]]
+    arr = jnp.asarray(xs)
     return jax.device_put(arr, NamedSharding(mesh, P(axis)))
 
 

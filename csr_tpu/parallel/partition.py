@@ -39,6 +39,31 @@ def balanced_row_splits(rowptrs_host: np.ndarray, n_shards: int) -> np.ndarray:
     return np.maximum.accumulate(splits)
 
 
+def balanced_col_splits(
+    cols_host: np.ndarray, ncols: int, n_shards: int, align: int = 1
+) -> np.ndarray:
+    """nnz-balanced COLUMN split points: ``n_shards + 1`` boundaries,
+    each a multiple of ``align`` (except the final ``ncols``).
+
+    The column analog of :func:`balanced_row_splits`, used by the ring
+    schedules: a uniform ``ncols / D`` column split sizes every ring
+    bucket to the globally densest column stripe, inflating device
+    memory by up to Dx on column-skewed matrices; nnz-balanced splits
+    bound the max bucket near ``nnz / D`` (round-3 verdict item 8)."""
+    counts = np.bincount(
+        np.asarray(cols_host, dtype=np.int64), minlength=max(ncols, 1)
+    )
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    nnz = int(cum[-1])
+    targets = (np.arange(1, n_shards) * nnz) // n_shards
+    cuts = np.searchsorted(cum, targets, side="left")
+    if align > 1:
+        cuts = ((cuts + align // 2) // align) * align
+        cuts = np.minimum(cuts, (ncols // align) * align)
+    splits = np.concatenate([[0], cuts, [max(ncols, 1)]])
+    return np.maximum.accumulate(splits).astype(np.int64)
+
+
 @dataclass
 class DistCSR:
     """A CSR matrix row-partitioned into ``n_shards`` padded shards.

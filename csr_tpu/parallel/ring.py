@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .partition import balanced_row_splits
+from .partition import balanced_col_splits, balanced_row_splits
 
 
 @dataclass
@@ -48,6 +48,7 @@ class RingCSR:
     row_ids: jax.Array  # row index rebased to the row shard
     row_offset: jax.Array  # (D,)
     nrows_local: jax.Array  # (D,)
+    col_offset: np.ndarray = None  # (D+1,) host: nnz-balanced column splits
 
     def shard(self, mesh: Mesh, axis: str = "rows") -> "RingCSR":
         sh = NamedSharding(mesh, P(axis))
@@ -57,23 +58,28 @@ class RingCSR:
             jax.device_put(self.colinds, sh),
             jax.device_put(self.values, sh),
             jax.device_put(self.row_ids, sh),
-            self.row_offset, self.nrows_local,
+            self.row_offset, self.nrows_local, self.col_offset,
         )
 
 
 def partition_ring(csr, n_shards: int) -> RingCSR:
-    """Bucket a CSR by (row shard, column shard) for the ring schedule."""
+    """Bucket a CSR by (row shard, column shard) for the ring schedule.
+
+    Column shards are nnz-balanced (:func:`balanced_col_splits`): buckets
+    pad to the max bucket, so a uniform column split would inflate memory
+    by up to Dx on column-skewed matrices."""
     rp = np.asarray(csr.rowptrs)
     cols = np.asarray(csr.colinds)
     vals = np.asarray(csr._required_values(), dtype=np.float32)
     rids = np.repeat(np.arange(csr.nrows, dtype=np.int32), np.diff(rp))
 
     splits = balanced_row_splits(rp, n_shards)
-    cols_per = -(-csr.ncols // n_shards)
+    csplits = balanced_col_splits(cols, csr.ncols, n_shards)
+    cols_per = max(int(np.max(np.diff(csplits))), 1)
     rows_per = max(int(np.max(np.diff(splits))), 1)
 
     shard_of_row = np.searchsorted(splits[1:], rids, side="right")
-    shard_of_col = cols // cols_per
+    shard_of_col = np.searchsorted(csplits[1:], cols, side="right")
 
     L = 1
     counts = np.zeros((n_shards, n_shards), np.int64)
@@ -91,7 +97,7 @@ def partition_ring(csr, n_shards: int) -> RingCSR:
         for k in range(n_shards):
             sel = sel_d & (shard_of_col == k)
             n = int(sel.sum())
-            ci[d, k, :n] = cols[sel] - k * cols_per
+            ci[d, k, :n] = cols[sel] - csplits[k]
             vl[d, k, :n] = vals[sel]
             ri[d, k, :n] = rids[sel] - splits[d]
             # padding rows point at the shard's padded extra row; value 0
@@ -102,7 +108,23 @@ def partition_ring(csr, n_shards: int) -> RingCSR:
         jnp.asarray(ci), jnp.asarray(vl), jnp.asarray(ri),
         jnp.asarray(splits[:-1].astype(np.int32)),
         jnp.asarray(np.diff(splits).astype(np.int32)),
+        col_offset=csplits,
     )
+
+
+def scatter_x(rcsr: RingCSR, x, mesh: Mesh, axis: str = "rows"):
+    """Column-shard the dense operand along the nnz-balanced splits:
+    a flat (D * cols_per_shard,) array, shard k holding its column slice
+    zero-padded to the uniform ``cols_per_shard``."""
+    d, cp = rcsr.n_shards, rcsr.cols_per_shard
+    xs = np.zeros((d, cp), np.float32)
+    xv = np.asarray(x, np.float32)
+    cs = rcsr.col_offset
+    for k in range(d):
+        w = int(cs[k + 1] - cs[k])
+        xs[k, :w] = xv[cs[k] : cs[k + 1]]
+    arr = jnp.asarray(xs.reshape(-1))
+    return jax.device_put(arr, NamedSharding(mesh, P(axis)))
 
 
 def spmv_ring(rcsr: RingCSR, x_sharded, mesh: Mesh, axis: str = "rows"):

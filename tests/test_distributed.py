@@ -138,11 +138,50 @@ def test_ring_spmv():
     mesh = make_mesh(n)
     r = ring.partition_ring(csr, n).shard(mesh)
     x = rng.standard_normal(120).astype(np.float32)
-    xp = np.zeros(r.cols_per_shard * n, np.float32)
-    xp[:120] = x
-    y = ring.spmv_ring(r, jnp.asarray(xp), mesh)
+    xs = ring.scatter_x(r, x, mesh)
+    y = ring.spmv_ring(r, xs, mesh)
     yg = np.asarray(dist.collect_rows(r, y))
     np.testing.assert_allclose(yg, m @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_buckets_nnz_balanced():
+    """Power-law column skew: nnz-balanced column splits keep the padded
+    max bucket within 2x of ideal, where uniform splits blow up toward Dx
+    (round-3 verdict item 8)."""
+    from csr_tpu import CSR
+    from csr_tpu.parallel import ring
+
+    rng = np.random.default_rng(23)
+    nrows, ncols, npr = 256, 2048, 64
+    # power-law column distribution: most mass in the first columns
+    cols = np.minimum(
+        (ncols * rng.power(0.25, nrows * npr)).astype(np.int64), ncols - 1
+    ).astype(np.int32)
+    rowptr = np.arange(nrows + 1, dtype=np.int64) * npr
+    vals = np.ones(nrows * npr, np.float32)
+    csr = CSR(nrows, ncols, nrows * npr, rowptr, np.sort(
+        cols.reshape(nrows, npr), axis=1).reshape(-1), vals)
+
+    D = 8
+    r = ring.partition_ring(csr, D)
+    ideal = csr.nnz / (D * D)  # per (row shard, col shard) bucket
+    assert r.bucket_len <= 2 * max(ideal, 1) + npr
+    # the uniform split really is pathological on this matrix (sanity
+    # check that the test matrix has the skew it claims)
+    uni = np.bincount(
+        np.minimum(cols // (-(-ncols // D)), D - 1), minlength=D
+    ).max()
+    assert uni > 4 * (csr.nnz / D)
+
+    x = rng.standard_normal(ncols).astype(np.float32)
+    mesh = make_mesh(min(len(jax.devices()), D))
+    if mesh.devices.size == D:
+        rs = r.shard(mesh)
+        xs = ring.scatter_x(rs, x, mesh)
+        y = np.asarray(ring.spmv_ring(rs, xs, mesh))
+        yg = np.asarray(dist.collect_rows(rs, y))
+        ref = to_dense(csr) @ x
+        np.testing.assert_allclose(yg, ref, rtol=1e-4, atol=1e-3)
 
 
 @needs_devices

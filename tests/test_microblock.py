@@ -107,6 +107,41 @@ def test_layout_chooser(csr):
             assert est == built.n_microrows
 
 
+@pytest.mark.parametrize("window", [128, 256])
+@given(csr=csrs())
+def test_native_plan3_matches_plan(window, csr):
+    """csrt_mb_plan3's three counts equal three csrt_mb_plan calls.
+
+    plan3 hand-inlines the group/stripe walk with three accumulators; if
+    the padding semantics of the walk ever drift, the layout chooser's
+    counts silently desync from what csrt_mb_fill builds — this pins
+    them together (advisor finding, round 3)."""
+    from csr_tpu import native
+    from csr_tpu.ops.microblock import ACC_GROUP
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    if csr.nnz == 0:
+        return
+    rp = np.asarray(csr.rowptrs)
+    cols = np.asarray(csr.colinds)
+    m3 = native.plan_microrows3(csr.nrows, csr.ncols, rp, cols, window,
+                                ACC_GROUP)
+    assert m3 is not None
+    for pair, m in zip((1, 2, 4), m3):
+        assert m == native.plan_microrows(
+            csr.nrows, csr.ncols, rp, cols, window, ACC_GROUP, pair
+        )
+        assert m == estimate_microrows(rp, cols, window, csr.ncols, pair)
+
+
+def test_bad_pair_rejected():
+    rp = np.array([0, 2], np.int64)
+    cols = np.array([0, 5], np.int32)
+    with pytest.raises(AssertionError):
+        estimate_microrows(rp, cols, 128, pair=3)
+
+
 @pytest.mark.parametrize("window,pair", [(128, 1), (128, 2), (256, 1), (256, 4)])
 @given(csr=csrs(values=True))
 def test_native_build_matches_numpy(window, pair, csr):

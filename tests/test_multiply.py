@@ -135,8 +135,14 @@ def test_mult_ab_huge_shape_smoke():
                    dtype=np.float32)
     B = sps.random(n, n, 4.0 / n, format="csr", random_state=rng,
                    dtype=np.float32)
+    exp0 = spgemm._expand._cache_size()
+    cmp0 = spgemm._compress._cache_size()
     with use_kernel("pallas"):
         C = CSR.from_scipy(A).multiply(CSR.from_scipy(B))
+    # bucket-padded chunk sizes: data-dependent chunk shapes must NOT
+    # recompile the sort pipeline per chunk (round-3 verdict item 6)
+    assert spgemm._expand._cache_size() - exp0 <= 3
+    assert spgemm._compress._cache_size() - cmp0 <= 3
     ref = A @ B
     ref.sum_duplicates()
     ref.eliminate_zeros()
