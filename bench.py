@@ -117,11 +117,19 @@ def main():
     stream = layout.nbytes
     gbps = stream / dt / 1e9
     peak = detect_peak_gbps() if not on_cpu else 100.0
+    # supplemental standard SpMV accounting: bytes an ideal CSR kernel
+    # would stream for the same problem (val+colind per nnz, rowptr, x, y)
+    # — the cross-implementation "effective bandwidth" convention.  Unlike
+    # the physical number it rewards padding reduction, not just speed.
+    csr_bytes = nnz * 8 + (nrows + 1) * 4 + (nrows + ncols) * 4
     result = {
         "metric": "spmv_gbps",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / peak, 4),
+        "effective_csr_gbps": round(csr_bytes / dt / 1e9, 2),
+        "gnnz_s": round(nnz / dt / 1e9, 2),
+        "fill": round(layout.fill, 3),
     }
     print(
         f"# nnz={nnz} fill={layout.fill:.3f} prep={prep_s:.2f}s "

@@ -101,9 +101,15 @@ def main():
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--save", action="store_true",
                     help="append this run to bench_history/")
+    ap.add_argument("--only", default=None,
+                    help="run only groups whose name contains this substring")
     args = ap.parse_args()
     kernels = args.kernels.split(",")
     rng = np.random.default_rng(42)
+    only = args.only
+
+    def want(group):
+        return only is None or only in group
 
     # fixed-workload groups (reference: tests/test_bench_multiply.py:9-24,66-81)
     A1 = make_csr(100, 500, 0.1, rng)
@@ -115,11 +121,14 @@ def main():
 
     for k in kernels:
         with use_kernel(k):
-            report("MultAB", k, None, timeit(lambda: A1.multiply(B1)))
-            report("MultABt", k, None, timeit(lambda: At.multiply(Bt, transpose=True)))
-            report("MultAx", k, None, timeit(lambda: Ax.mult_vec(v)))
+            if want("MultAB"):
+                report("MultAB", k, None, timeit(lambda: A1.multiply(B1)))
+            if want("MultABt"):
+                report("MultABt", k, None, timeit(lambda: At.multiply(Bt, transpose=True)))
+            if want("MultAx"):
+                report("MultAx", k, None, timeit(lambda: Ax.mult_vec(v)))
 
-    densities = [0.1, 0.5, 1.0] if args.fast else [round(x, 1) for x in np.arange(0, 1.01, 0.1)]
+    densities = [] if not want("Density") else [0.1, 0.5, 1.0] if args.fast else [round(x, 1) for x in np.arange(0, 1.01, 0.1)]
     for dens in densities:
         Ad = make_csr(100, 100, dens, rng)
         Bd = make_csr(100, 100, dens, rng)
@@ -128,13 +137,33 @@ def main():
                 report("MultAB-Density", k, dens, timeit(lambda: Ad.multiply(Bd)))
                 report("MultABt-Density", k, dens, timeit(lambda: Ad.multiply(Bd, transpose=True)))
 
-    sizes = [10, 100, 500] if args.fast else [5, 10, 15, 25, 50, 100, 200, 250, 500, 750, 1000]
+    sizes = [] if not want("MultAB-Size") else [10, 100, 500] if args.fast else [5, 10, 15, 25, 50, 100, 200, 250, 500, 750, 1000]
     for size in sizes:
         As = make_csr(size, size, 0.1, rng)
         Bs = make_csr(size, size, 0.1, rng)
         for k in kernels:
             with use_kernel(k):
                 report("MultAB-Size", k, size, timeit(lambda: As.multiply(Bs)))
+
+    # ESC-regime sizes: dense intermediates exceed the dense-routing
+    # budget, so the pallas backend's SpGEMM runs expand-sort-compress
+    # (csr_tpu/ops/spgemm.py) — the reference's MultAB-Size sweep
+    # (tests/test_bench_multiply.py:46-63) has no points here.  nnz/row is
+    # held at ~50 so the expansion stays ~size * 2500 product terms.
+    esc_sizes = [] if not want("ESC") else [20_000] if args.fast else [20_000, 50_000, 100_000]
+    for size in esc_sizes:
+        Ae = make_csr(size, size, 50.0 / size, rng)
+        Be = make_csr(size, size, 50.0 / size, rng)
+        for k in kernels:
+            if k == "xla":
+                continue  # XLA backend would densify far past the budget
+            with use_kernel(k):
+                ms = timeit(lambda: Ae.multiply(Be))
+            gnnz = (Ae.nnz * 50.0) / (ms * 1e-3) / 1e9  # expanded terms/s
+            report("MultAB-ESC", k, size, ms)
+            print(json.dumps({"group": "MultAB-ESC-rate", "kernel": k,
+                              "param": size,
+                              "gterms_s": round(gnnz, 3)}))
 
     if args.save:
         save_history(_results)

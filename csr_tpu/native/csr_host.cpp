@@ -205,7 +205,11 @@ extern "C" void csrt_row_ids(int64_t nrows, const int64_t* rowptrs, int32_t* out
 //
 // Entries are reordered to lexicographic (rb, cb, row) order — two stable
 // LSD counting-sort passes over the already-row-major CSR entries — then
-// packed into 128-slot micro-rows per (rb, cb) group, with each stripe
+// packed into micro-rows of up to MB_SLOT_CAP = 127 entries (slot 127 of
+// the 128-lane row is always padding: the cap keeps the row-boundary
+// prefix count epos in [0, 127] so the SpMV kernel's boundary gather is
+// provably lane-bounded; see csr_tpu/ops/microblock.py SLOT_CAP) per
+// (rb, cb) group, with each stripe
 // (run of one rb) padded to a multiple of pad_mult micro-rows so every
 // aligned pad_mult-row accumulation group has a uniform row window.
 //
@@ -226,6 +230,13 @@ struct MbSorted {
   std::vector<int32_t> rid, col;
   std::vector<float> val;
 };
+
+// entries per micro-row (== csr_tpu.ops.microblock.SLOT_CAP)
+static constexpr int64_t MB_SLOT_CAP = 127;
+
+static inline int64_t mb_mrs(int64_t size) {
+  return (size + MB_SLOT_CAP - 1) / MB_SLOT_CAP;
+}
 
 // Sort entries to (rb, cb, row, input-order) using two stable counting
 // passes; input CSR order is row-major, which supplies the row/input-order
@@ -298,7 +309,7 @@ static int64_t mb_walk(int64_t nnz, const MbSorted& s, int64_t cshift,
     int64_t j = i;
     while (j < nnz && (s.rid[j] >> 7) == rb && (s.col[j] >> cshift) == cb) ++j;
     group_fn(i, j - i, m);
-    m += (((j - i + 127) >> 7) + gmask) & ~gmask;
+    m += (mb_mrs(j - i) + gmask) & ~gmask;
     i = j;
   }
   return (m + pmask) & ~pmask;
@@ -337,7 +348,7 @@ extern "C" int64_t csrt_mb_plan3(int64_t nnz, int64_t nrows, int64_t ncols,
     }
     int64_t j = i;
     while (j < nnz && (s.rid[j] >> 7) == rb && (s.col[j] >> cshift) == cb) ++j;
-    int64_t mrs = (j - i + 127) >> 7;
+    int64_t mrs = mb_mrs(j - i);
     m[0] += mrs;
     m[1] += (mrs + 1) & ~int64_t(1);
     m[2] += (mrs + 3) & ~int64_t(3);
@@ -365,14 +376,14 @@ extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
   int64_t m = mb_walk(nnz, s, cshift, pad_mult, pair,
                       [&](int64_t start, int64_t size, int64_t mr0) {
     int32_t rb = s.rid[start] >> 7, cb = s.col[start] >> cshift;
-    int64_t mrs = (size + 127) >> 7;
+    int64_t mrs = mb_mrs(size);
     int64_t mrs_pad = (mrs + gmask) & ~gmask;
     for (int64_t k = 0; k < mrs_pad; ++k) out_rbcb[mr0 + k] = (rb << 16) | cb;
     for (int64_t k = 0; k < mrs; ++k) {
       int64_t mr = mr0 + k;
-      int64_t lim = std::min<int64_t>(128, size - k * 128);
+      int64_t lim = std::min<int64_t>(MB_SLOT_CAP, size - k * MB_SLOT_CAP);
       int32_t cnt[128] = {0};
-      const int64_t base = start + k * 128;
+      const int64_t base = start + k * MB_SLOT_CAP;
       for (int64_t t = 0; t < lim; ++t) {
         out_vals[mr * 128 + t] = s.val[base + t];
         out_meta[mr * 128 + t] = (uint16_t)(s.col[base + t] & lo_mask);
@@ -396,7 +407,7 @@ extern "C" int64_t csrt_mb_fill(int64_t nnz, int64_t nrows, int64_t ncols,
           [&](int64_t start, int64_t size, int64_t mr0) {
     int32_t rb = s.rid[start] >> 7;
     for (; cursor < mr0; ++cursor) out_rbcb[cursor] = last_rb << 16;
-    cursor = mr0 + ((((size + 127) >> 7) + gmask) & ~gmask);
+    cursor = mr0 + ((mb_mrs(size) + gmask) & ~gmask);
     last_rb = rb;
   });
   for (; cursor < m_pad; ++cursor) out_rbcb[cursor] = last_rb << 16;

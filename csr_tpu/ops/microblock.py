@@ -57,9 +57,13 @@ Layout arrays (``M`` = number of micro-rows, padded to a block multiple):
                              (``s`` = 7 for 128-wide, 8 for 256-wide):
                              ``lo``   (7/8 bits) entry column offset
                                       within the window;
-                             ``epos`` (8 bits) #entries in the micro-row
-                                      with local row <= lane (row-boundary
-                                      prefix counts)
+                             ``epos`` (7 bits, in [0, 127] — micro-rows
+                                      hold <= SLOT_CAP = 127 entries)
+                                      #entries in the micro-row with
+                                      local row <= lane (row-boundary
+                                      prefix counts; the kernel gathers
+                                      an EXCLUSIVE prefix sum at epos,
+                                      clamp- and select-free)
 ``rbcb``  (M,)     int32   — packed ``rb << 16 | cb`` window coordinates
                              (``cb`` in units of ``window`` columns)
 
@@ -90,6 +94,14 @@ import jax
 import jax.numpy as jnp
 
 LANE = 128
+#: entries per micro-row (one less than the 128 slots): capping at 127
+#: keeps the row-boundary prefix count epos in [0, 127], so the SpMV
+#: kernel's boundary gather index is PROVABLY lane-bounded after an
+#: ``& 127`` and the gather needs no clamp and no epos==0 select —
+#: measured -2.5%/step on v5e for 1/128 fill (docs/perf.md round-4;
+#: the round-2 "127-cap dead end" lacked the provable bound and lost).
+#: Slot 127 of every micro-row is padding (value 0, lo 0).
+SLOT_CAP = 127
 #: micro-rows per kernel grid step (a multiple of 1024 keeps 1-D int32
 #: operand layouts aligned with XLA tiling T(1024); 2048 halves per-step
 #: fixed costs vs 1024 — measured -6% at the 10.7M-nnz flagship)
@@ -157,7 +169,7 @@ def _estimate_multi_numpy(rp, cols, window: int, nrows: int):
     shift = int(window).bit_length() - 1
     key = (rids >> 7) << 32 | (np.asarray(cols).astype(np.int64) >> shift)
     uk, counts = np.unique(key, return_counts=True)
-    grp_mrs = -(-counts // LANE)
+    grp_mrs = -(-counts // SLOT_CAP)
     urb = uk >> 32
     new_stripe = np.empty(len(uk), bool)
     new_stripe[0] = True
@@ -339,11 +351,11 @@ def build_microblocks_host(
     grp_first = np.maximum.accumulate(np.where(newgrp, idx, 0))
     pos = idx - grp_first
 
-    mr_in_grp = pos >> 7
-    slot = (pos & (LANE - 1)).astype(np.int64)
+    mr_in_grp = pos // SLOT_CAP
+    slot = (pos % SLOT_CAP).astype(np.int64)
 
     grp_sizes = np.bincount(grp_id)
-    grp_mrs = -(-grp_sizes // LANE)
+    grp_mrs = -(-grp_sizes // SLOT_CAP)
     # pair mode: pad each group to a pair multiple so aligned pair-length
     # micro-row runs share one column window (build-loop address sharing)
     grp_mrs = -(-grp_mrs // pair) * pair

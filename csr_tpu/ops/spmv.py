@@ -14,9 +14,14 @@ of which are full-block vector/matrix ops (no per-element work):
    (``take_along_axis`` along lanes) picks each entry's operand value,
    then multiplies by the stored values;
 3. **cumulative row sums**: an *MXU* prefix-sum — ``p @ U`` with U the
-   constant upper-triangular ones matrix — followed by one gather at the
-   precomputed row-boundary prefix counts (``epos``), giving ``H[mr, r]``
-   = sum of the micro-row's entries in window-rows ``<= r``.  The matmul
+   constant STRICT upper-triangular ones matrix (exclusive prefix) —
+   followed by ONE unclamped gather at the precomputed row-boundary
+   prefix counts (``epos``), giving ``H[mr, r]`` = sum of the micro-row's
+   entries in window-rows ``<= r``.  Micro-rows hold at most
+   ``SLOT_CAP = 127`` entries, so ``epos`` is in [0, 127]: the unpack's
+   ``& 127`` makes the gather index provably lane-bounded (no clamp, no
+   epos==0 select — the boundary stage is the kernel's only exposed
+   compute, docs/perf.md round-4).  The matmul
    formulation matters: lane-wise shift cumsums cost ~11 ms at 10M nnz on
    v5e because lane rotates are expensive; the MXU does the same
    reduction almost for free.  The product runs as a manual two-pass
@@ -79,9 +84,14 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # STRICT upper triangle: the matmul computes an EXCLUSIVE prefix sum,
+    # so the boundary stage is one unclamped gather at epos (micro-rows
+    # hold <= SLOT_CAP = 127 entries, so epos is in [0, 127] and the
+    # `& 127` in the unpack makes the gather index provably lane-bounded
+    # -- no clamp, no epos==0 select; measured -2.5%/step, docs/perf.md)
     li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    U = jnp.where(li <= lj, 1.0, 0.0)
+    U = jnp.where(li < lj, 1.0, 0.0)
 
     Hs = []
     for s_ in range(_NSUB):
@@ -116,14 +126,16 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch,
         # dependency -- measured -22% per step (docs/perf.md).
         jax.lax.fori_loop(0, _SUB // 8, build, 0, unroll=_SUB // 8)
 
-        # unpack the u16 metadata stream (6 B/slot total with vals)
+        # unpack the u16 metadata stream (6 B/slot total with vals); the
+        # `& 127` on epos is the provable lane bound for the boundary
+        # gather (epos <= SLOT_CAP by construction)
         meta = meta_ref[off : off + _SUB, :].astype(jnp.int32)
         if wb == 1:
             lo = meta & 127
-            epos = meta >> 7
+            epos = (meta >> 7) & 127
         else:
             lo = meta & 255
-            epos = meta >> 8
+            epos = (meta >> 8) & 127
 
         # stage 2: full-block gather + scale
         if wb == 1:
@@ -156,8 +168,9 @@ def _spmv_kernel(rbcb_ref, vals_ref, meta_ref, x_ref, out_ref, *scratch,
             p_lo, Ub, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        H = jnp.take_along_axis(c, jnp.maximum(epos - 1, 0), axis=1)
-        Hs.append(jnp.where(epos > 0, H, 0.0))
+        # exclusive prefix at epos: rows with zero entries in this
+        # micro-row read c[0] = 0 naturally (no clamp, no select)
+        Hs.append(jnp.take_along_axis(c, epos, axis=1))
 
     # stage 4: accumulate the cumulative sums into the output, straight
     # off the H values (Python loop -> static slices).  The layout pads

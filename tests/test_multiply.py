@@ -128,6 +128,7 @@ def test_mult_ab_huge_shape_smoke():
     import scipy.sparse as sps
 
     from csr_tpu import CSR
+    from csr_tpu.ops import spgemm
 
     n = 200_000
     rng = np.random.default_rng(17)

@@ -60,6 +60,26 @@ def test_f64_multiply_precision(x64):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-10)
 
 
+def test_f64_pallas_backend_routes_to_xla(x64):
+    """The pallas backend's f64 policy: full-precision work routes to the
+    XLA path (docs/kernels.md) — through every contract op, at f64
+    tolerances."""
+    m = _mat(seed=8)
+    c = CSR.from_scipy(m)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(c.ncols)
+    v = rng.standard_normal(c.nrows)
+    B = rng.standard_normal((c.ncols, 5))
+    with use_kernel("pallas"):
+        y = np.asarray(c.mult_vec(x))
+        g = np.asarray(c.mult_vec_t(v))
+        C = np.asarray(c.mult_dense(B))
+    assert y.dtype == g.dtype == C.dtype == np.float64
+    np.testing.assert_allclose(y, m @ x, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(g, m.T @ v, rtol=1e-5, atol=1e-10)
+    np.testing.assert_allclose(C, m @ B, rtol=1e-5, atol=1e-10)
+
+
 def test_f64_normalize_unit(x64):
     m = _mat(seed=5)
     c = CSR.from_scipy(m)
