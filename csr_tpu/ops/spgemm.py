@@ -89,10 +89,21 @@ def _expand(a_vals, a_cols, a_rids, b_rps, b_cols, b_vals, ex_cum,
     nnz_a = a_cols.shape[0]
     t = jnp.arange(n_pad, dtype=ex_cum.dtype)
     valid = t < n_valid
-    # which A entry each triple expands from (ex_cum is inclusive)
-    e = jnp.searchsorted(ex_cum, t, side="right").astype(jnp.int32)
-    e = jnp.minimum(e, nnz_a - 1)
-    start = jnp.where(e > 0, ex_cum[jnp.maximum(e - 1, 0)], 0)
+    # which A entry each triple expands from: scatter a 1 at each entry's
+    # start offset and prefix-sum, instead of a vectorized binary search
+    # over ex_cum (searchsorted = ~log2(nnz_a) rounds of 16M-element
+    # gathers; the scatter is nnz_a-sized and the cumsum one pass —
+    # with the single-sort change below, 2.79x end-to-end on v5e,
+    # docs/perf.md round 4)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, ex_cum.dtype), ex_cum[:-1]]
+    ) if nnz_a else ex_cum[:0]
+    ind = jnp.zeros(n_pad, jnp.int32).at[
+        jnp.minimum(starts, n_pad - 1)
+    ].add(jnp.where(starts < n_pad, 1, 0).astype(jnp.int32))
+    e = jnp.minimum(jnp.cumsum(ind) - 1, nnz_a - 1)
+    # offset of t within its entry's run = t - (last start position <= t)
+    start = jax.lax.cummax(jnp.where(ind > 0, t, 0), axis=0)
     off = t - start
     src = b_rps[a_cols[e]].astype(ex_cum.dtype) + off
     src = jnp.clip(src, 0, max(b_cols.shape[0] - 1, 0))
@@ -103,10 +114,14 @@ def _expand(a_vals, a_cols, a_rids, b_rps, b_cols, b_vals, ex_cum,
         valid, a_vals.astype(out_dtype)[e] * b_vals.astype(out_dtype)[src], 0
     )
 
-    # lexicographic (row, col): stable sort by minor key, then major
-    perm = jnp.argsort(cols, stable=True)
-    perm = perm[jnp.argsort(rows[perm], stable=True)]
-    rows, cols, vals = rows[perm], cols[perm], vals[perm]
+    # lexicographic (row, col) in ONE sort pass, values co-sorted: a
+    # 2-key lax.sort replaces the former stable argsort-by-col +
+    # argsort-by-row + three 16M-element permutation gathers.  Stability
+    # is not needed — equal (row, col) triples are duplicates whose
+    # values the compress pass sums regardless of order.
+    rows, cols, vals = jax.lax.sort(
+        (rows, cols, vals), num_keys=2, is_stable=False
+    )
 
     prev_r = jnp.concatenate([rows[:1] - 1, rows[:-1]]) if n_pad else rows
     prev_c = jnp.concatenate([cols[:1] - 1, cols[:-1]]) if n_pad else cols
