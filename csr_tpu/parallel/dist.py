@@ -34,10 +34,16 @@ from .partition import DistCSR
 
 
 def _local_row_ids(rowptrs, nnz_per: int):
-    """Row ids for one padded shard: searchsorted over the local rowptrs.
-    Padded entries map to padded rows (whose output is sliced off)."""
-    pos = jnp.arange(nnz_per, dtype=jnp.int32)
-    return jnp.searchsorted(rowptrs[1:], pos, side="right").astype(jnp.int32)
+    """Row ids for one padded shard: boundary scatter + cumsum over the
+    local rowptrs (searchsorted avoided — see structure._row_ids).
+    Padded entries map to padded rows (whose output is sliced off): the
+    final rowptr boundary is included so positions past it count up to
+    the padded row id."""
+    bnd = rowptrs[1:]
+    ind = jnp.zeros(nnz_per, jnp.int32).at[
+        jnp.clip(bnd, 0, nnz_per - 1)
+    ].add(jnp.where(bnd < nnz_per, 1, 0).astype(jnp.int32))
+    return jnp.cumsum(ind)
 
 
 def _local_spmv(rowptrs, colinds, values, x, rows_per: int):

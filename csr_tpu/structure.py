@@ -38,21 +38,25 @@ def _rowptrs_from_rows(rows, nrows: int, out_dtype):
 def _row_ids(rowptrs, nrows: int, nnz: int):
     """Expand row pointers to a per-entry row-index vector.
 
-    The searchsorted form compiles to a single vectorized XLA op, replacing
-    the reference's sequential fill loop (csr/_rows.py:122-128).
-    """
+    Replaces the reference's sequential fill loop (csr/_rows.py:122-128).
+    Formulation: scatter-add a 1 at each interior row boundary position
+    (``rowptrs[1:nrows]``; empty rows contribute duplicates) and
+    prefix-sum.  ``searchsorted`` is deliberately avoided — on TPU a
+    vectorized binary search lowers to ~log2(nrows) rounds of nnz-sized
+    gathers and measures ~100x slower than the nrows-sized scatter + one
+    cumsum at 10M nnz (docs/perf.md round 4, ESC/transpose rewrites)."""
     if nnz == 0:
         return jnp.zeros(0, dtype=jnp.int32)
     from .dtypes import x64_scope
 
-    # entry positions past INT32_MAX require true int64 (x64_scope keeps
-    # the arange from silently narrowing when jax_enable_x64 is off)
+    # boundary positions past INT32_MAX need true int64 scatter indices
+    # (x64_scope keeps the bound constants from overflowing weak i32)
     with x64_scope(nnz > np.iinfo(np.int32).max):
-        pos = jnp.arange(nnz, dtype=rowptrs.dtype)
-        return (
-            jnp.searchsorted(rowptrs[1 : nrows + 1], pos, side="right")
-            .astype(jnp.int32)
-        )
+        bnd = rowptrs[1:nrows]
+        ind = jnp.zeros(nnz, jnp.int32).at[
+            jnp.clip(bnd, 0, nnz - 1)
+        ].add(jnp.where(bnd < nnz, 1, 0).astype(jnp.int32))
+        return jnp.cumsum(ind)
 
 
 def row_ids_for(csr) -> jnp.ndarray:
@@ -64,15 +68,20 @@ def row_ids_for(csr) -> jnp.ndarray:
 # COO -> CSR
 
 
-@functools.partial(jax.jit, static_argnames=("nrows",))
-def _from_coo_jit(rows, cols, nrows: int):
+@functools.partial(jax.jit, static_argnames=("nrows", "has_values"))
+def _from_coo_jit(rows, cols, values, nrows: int, has_values: bool):
     rows = rows.astype(jnp.int32)
-    # Stable sort keeps the input order of entries within a row, matching the
-    # reference's two-pass counting scatter (csr/structure.py:12-58).
-    perm = jnp.argsort(rows, stable=True)
-    out_cols = cols.astype(COLIND_DTYPE)[perm]
+    cols = cols.astype(COLIND_DTYPE)
+    # ONE sort with payloads co-sorted by the sort network, instead of a
+    # stable argsort + permutation gathers.  The iota second key makes the
+    # order total, so an unstable sort still keeps the input order of
+    # entries within a row — matching the reference's two-pass counting
+    # scatter (csr/structure.py:12-58).
+    iota = jnp.arange(rows.shape[0], dtype=jnp.int32)
+    ops = (rows, iota, cols) + ((values,) if has_values else ())
+    sorted_ops = jax.lax.sort(ops, num_keys=2, is_stable=False)
     rps = _rowptrs_from_rows(rows, nrows, big_int())
-    return rps, out_cols, perm
+    return rps, sorted_ops[2], sorted_ops[3] if has_values else None
 
 
 def from_coo(nrows: int, rows, cols, values=None):
@@ -80,8 +89,8 @@ def from_coo(nrows: int, rows, cols, values=None):
 
     Reference: csr/structure.py:61-67.  Host (numpy) inputs take the native
     C++ counting-sort path (:mod:`csr_tpu.native`); device arrays convert
-    on-device via a stable sort.  Returns wide rowptrs; the caller
-    (``CSR.__init__``) narrows them per the dtype policy.
+    on-device via a single multi-operand sort.  Returns wide rowptrs; the
+    caller (``CSR.__init__``) narrows them per the dtype policy.
     """
     if not isinstance(rows, jax.Array) and not isinstance(cols, jax.Array):
         from . import native
@@ -92,58 +101,67 @@ def from_coo(nrows: int, rows, cols, values=None):
 
     rows = jnp.asarray(rows)
     cols = jnp.asarray(cols)
-    rps, out_cols, perm = _from_coo_jit(rows, cols, nrows)
     if values is None:
+        rps, out_cols, _ = _from_coo_jit(rows, cols, rows, nrows, False)
         return rps, out_cols, None
-    values = jnp.asarray(values)
-    return rps, out_cols, values[perm]
+    rps, out_cols, out_vals = _from_coo_jit(
+        rows, cols, jnp.asarray(values), nrows, True
+    )
+    return rps, out_cols, out_vals
 
 
 # ---------------------------------------------------------------------------
 # transpose
 
 
-@functools.partial(jax.jit, static_argnames=("nrows", "ncols"))
-def _transpose_jit(rowptrs, colinds, nrows: int, ncols: int):
+@functools.partial(jax.jit, static_argnames=("nrows", "ncols", "has_values"))
+def _transpose_jit(rowptrs, colinds, values, nrows: int, ncols: int,
+                   has_values: bool):
     nnz = colinds.shape[0]
     rids = _row_ids(rowptrs, nrows, nnz)
-    # Stable sort by column index: preserves row order within each column,
-    # exactly like the reference's count-then-scatter passes
-    # (csr/structure.py:172-237).
-    perm = jnp.argsort(colinds.astype(jnp.int32), stable=True)
-    t_colinds = rids[perm].astype(COLIND_DTYPE)
+    # ONE (col, row) 2-key sort with the values co-sorted by the sort
+    # network — same output order as the reference's count-then-scatter
+    # passes (csr/structure.py:172-237): row order preserved within each
+    # column because (col, row) keys are a total order on distinct
+    # coordinates (duplicate coordinates keep dense semantics; their
+    # relative value order is unspecified, as after any COO round trip).
+    ops = (colinds.astype(jnp.int32), rids) + ((values,) if has_values else ())
+    sorted_ops = jax.lax.sort(ops, num_keys=2, is_stable=False)
+    t_colinds = sorted_ops[1].astype(COLIND_DTYPE)
     t_rowptrs = _rowptrs_from_rows(colinds, ncols, rowptrs.dtype)
-    return t_rowptrs, t_colinds, perm
+    return t_rowptrs, t_colinds, sorted_ops[2] if has_values else None
 
 
 def transpose_arrays(rowptrs, colinds, values, nrows: int, ncols: int):
     """Transpose CSR arrays; returns (rowptrs, colinds, values) of the
     transpose (a ``ncols x nrows`` matrix)."""
-    t_rps, t_cis, perm = _transpose_jit(rowptrs, colinds, nrows, ncols)
-    t_vs = None if values is None else values[perm]
-    return t_rps, t_cis, t_vs
+    return _transpose_jit(rowptrs, colinds,
+                          colinds if values is None else values,
+                          nrows, ncols, values is not None)
 
 
 # ---------------------------------------------------------------------------
 # row sorting
 
 
-@functools.partial(jax.jit, static_argnames=("nrows",))
-def _sort_rows_jit(rowptrs, colinds, nrows: int):
+@functools.partial(jax.jit, static_argnames=("nrows", "has_values"))
+def _sort_rows_jit(rowptrs, colinds, values, nrows: int, has_values: bool):
     nnz = colinds.shape[0]
     rids = _row_ids(rowptrs, nrows, nnz)
-    # Lexicographic (row, col) via two stable device sorts (least-significant
-    # key first), replacing the per-row bubble sort (csr/structure.py:156-169).
-    perm = jnp.argsort(colinds.astype(jnp.int32), stable=True)
-    perm = perm[jnp.argsort(rids[perm], stable=True)]
-    return colinds[perm], perm
+    # Lexicographic (row, col) in ONE unstable 2-key sort with values
+    # co-sorted, replacing the per-row bubble sort (csr/structure.py:156-169)
+    # and the former two-stable-argsort + gather formulation.
+    ops = (rids, colinds.astype(jnp.int32)) + ((values,) if has_values else ())
+    sorted_ops = jax.lax.sort(ops, num_keys=2, is_stable=False)
+    return (sorted_ops[1].astype(colinds.dtype),
+            sorted_ops[2] if has_values else None)
 
 
 def sort_rows_arrays(rowptrs, colinds, values, nrows: int):
     """Sort each row by increasing column index. Returns (colinds, values)."""
-    cis, perm = _sort_rows_jit(rowptrs, colinds, nrows)
-    vs = None if values is None else values[perm]
-    return cis, vs
+    return _sort_rows_jit(rowptrs, colinds,
+                          colinds if values is None else values,
+                          nrows, values is not None)
 
 
 # ---------------------------------------------------------------------------
@@ -167,14 +185,20 @@ def subset_rows_arrays(csr, begin: int, end: int):
 @functools.partial(jax.jit, static_argnames=("out_nnz",))
 def _pick_rows_jit(rowptrs, rows, out_rps, out_nnz: int):
     nr = rows.shape[0]
-    # output position -> which picked row it belongs to
-    out_rid = jnp.searchsorted(
-        out_rps[1 : nr + 1], jnp.arange(out_nnz, dtype=out_rps.dtype), side="right"
-    )
+    # output position -> which picked row it belongs to: scatter-add 1 at
+    # each interior output-row boundary and prefix-sum (searchsorted
+    # avoided — see _row_ids), with the row-start position recovered by a
+    # cummax over boundary markers
+    pos = jnp.arange(out_nnz, dtype=out_rps.dtype)
+    bnd = out_rps[1:nr]
+    ind = jnp.zeros(out_nnz, jnp.int32).at[
+        jnp.clip(bnd, 0, out_nnz - 1)
+    ].add(jnp.where(bnd < out_nnz, 1, 0).astype(jnp.int32))
+    out_rid = jnp.cumsum(ind)
+    start = jax.lax.cummax(jnp.where(ind > 0, pos, 0), axis=0)
     # source index = row start of the source row + offset within the row
     src_row = rows[out_rid]
-    offset = jnp.arange(out_nnz, dtype=out_rps.dtype) - out_rps[out_rid]
-    src_idx = rowptrs[src_row].astype(out_rps.dtype) + offset
+    src_idx = rowptrs[src_row].astype(out_rps.dtype) + (pos - start)
     return src_idx
 
 

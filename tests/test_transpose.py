@@ -85,3 +85,25 @@ def test_transpose_empty_column():
     st = smat.T.tocsr()
     np.testing.assert_array_equal(np.asarray(t.rowptrs), st.indptr)
     np.testing.assert_allclose(to_dense(t), st.toarray(), rtol=1e-6)
+
+
+def test_transpose_duplicate_coordinates():
+    """Duplicate (row, col) coordinates survive transpose with dense
+    semantics intact.  Their relative value order is unspecified (the
+    2-key device sort is unstable on duplicates), so only the dense form
+    and the per-coordinate multiset are asserted."""
+    from csr_tpu import CSR
+
+    rows = np.array([1, 1, 0, 1, 1], np.int32)
+    cols = np.array([2, 2, 0, 2, 1], np.int32)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0], np.float32)
+    c = CSR.from_coo(rows, cols, vals, (3, 3))
+    t = c.transpose()
+    assert t.nnz == 5
+    dense = np.zeros((3, 3), np.float32)
+    np.add.at(dense, (cols, rows), vals)
+    np.testing.assert_allclose(to_dense(t), dense, rtol=1e-6)
+    # the three duplicates all land in transpose row 2, column 1
+    rps = np.asarray(t.rowptrs)
+    assert sorted(np.asarray(t.values)[rps[2]:rps[3]][
+        np.asarray(t.colinds)[rps[2]:rps[3]] == 1].tolist()) == [1.0, 2.0, 4.0]
