@@ -123,7 +123,8 @@ class PallasHandle:
     """Device handle: the CSR plus its (lazily built) device forms —
     micro-block layout for SpMV, dense form for MXU SpMM/SpGEMM."""
 
-    __slots__ = ("csr", "_layout", "_layout_t", "_xla_handle", "_dense")
+    __slots__ = ("csr", "_layout", "_layout_t", "_xla_handle", "_dense",
+                 "_dense64")
 
     def __init__(self, csr):
         self.csr = csr
@@ -131,6 +132,7 @@ class PallasHandle:
         self._layout_t = None
         self._xla_handle = None
         self._dense = None
+        self._dense64 = None
 
     @property
     def layout(self) -> microblock.MicroBlockLayout:
@@ -163,6 +165,21 @@ class PallasHandle:
             )
         return self._dense
 
+    @property
+    def dense64(self):
+        """f64 densified matrix, cached on the handle.  Affordable f64
+        products route through this form: emulated dense f64 (1.5
+        TFLOP/s matmul on v5e) beats the gather/scatter f64 sparse
+        formulations ~2x above ~6e-3 density — docs/perf.md round 5."""
+        if self._dense64 is None:
+            c = self.csr
+            bx = self.xla_handle
+            self._dense64 = _xla._densify(
+                c._required_values(), c.colinds, bx.row_ids,
+                c.nrows, c.ncols, jnp.float64,
+            )
+        return self._dense64
+
 
 def to_handle(csr):
     trace("to_handle", kernel="pallas", shape=(csr.nrows, csr.ncols), nnz=csr.nnz)
@@ -191,6 +208,7 @@ def release_handle(h, drop_cache: bool = False):
     h._layout_t = None
     h._xla_handle = None
     h._dense = None
+    h._dense64 = None
     if drop_cache:
         for attr in ("_mb_layout_cache", "_mb_layout_t_cache",
                      "_mb_large_cache", "_mb_large_t_cache"):
@@ -282,7 +300,14 @@ def mult_vec(h, v):
         h.csr._required_values().dtype, jnp.asarray(v).dtype
     )
     if not _pallas_viable(h.csr, v.dtype):
-        if h.csr.nnz == 0 or jnp.dtype(out_dtype) == jnp.float64:
+        if jnp.dtype(out_dtype) == jnp.float64 and h.csr.nnz > 0:
+            # f64 fast path: the densified emulated-f64 matvec measures
+            # 1.5x the segment-sum fallback at d=0.01; breakeven ~6e-3
+            # (docs/perf.md round 5)
+            if _dense_affordable(h.csr, jnp.float64):
+                return jnp.dot(h.dense64, jnp.asarray(v).astype(jnp.float64))
+            return _xla.mult_vec(h.xla_handle, v)
+        if h.csr.nnz == 0:
             return _xla.mult_vec(h.xla_handle, v)
         chunks = _cached_large(h.csr, transpose=False)
         out = _spmv_op.spmv_large(
@@ -302,7 +327,12 @@ def mult_vec_t(h, v):
         h.csr._required_values().dtype, jnp.asarray(v).dtype
     )
     if not _pallas_viable(h.csr, v.dtype, transpose=True):
-        if h.csr.nnz == 0 or jnp.dtype(out_dtype) == jnp.float64:
+        if jnp.dtype(out_dtype) == jnp.float64 and h.csr.nnz > 0:
+            if _dense_affordable(h.csr, jnp.float64):
+                # v @ A = A^T v without materializing the transpose
+                return jnp.dot(jnp.asarray(v).astype(jnp.float64), h.dense64)
+            return _xla.mult_vec_t(h.xla_handle, v)
+        if h.csr.nnz == 0:
             return _xla.mult_vec_t(h.xla_handle, v)
         chunks = _cached_large(h.csr, transpose=True)
         out = _spmv_op.spmv_large(
@@ -338,22 +368,38 @@ def _spmm_viable(csr, n_out_rows: int) -> bool:
 # ~0.002 whenever the densified matrix fits a memory budget.
 _DENSIFY_MAX_ELEMS = 2**27  # 512 MB f32
 _DENSIFY_MIN_DENSITY = 2e-3
+_DENSIFY_MIN_DENSITY_F64 = 6e-3  # measured breakeven vs the XLA f64 paths
 
 
-def _dense_affordable(csr) -> bool:
+def _dense_affordable(csr, dtype=jnp.float32) -> bool:
     elems = csr.nrows * csr.ncols
-    if elems == 0 or elems > _DENSIFY_MAX_ELEMS:
+    budget = _DENSIFY_MAX_ELEMS
+    if jnp.dtype(dtype) == jnp.float64:
+        budget //= 2  # same byte budget at 8 B/elem
+    if elems == 0 or elems > budget:
         return False
-    return csr.nnz / elems >= _DENSIFY_MIN_DENSITY
+    density = csr.nnz / elems
+    if jnp.dtype(dtype) == jnp.float64:
+        # f64 breakeven is HIGHER than f32's: emulated f64 is
+        # compute-bound even in dense form (measured on v5e: dense f64
+        # matvec streams at only 14 GB/s), so the dense route beats the
+        # XLA sparse fallbacks (~2x) only above ~5-7e-3 density
+        # (docs/perf.md round 5)
+        return density >= _DENSIFY_MIN_DENSITY_F64
+    return density >= _DENSIFY_MIN_DENSITY
 
 
 def mult_dense(h, B):
     """SpMM ``A @ B`` with dense B: densified MXU matmul at practical
     densities, micro-block kernel for big sparse matrices, XLA fallback."""
     B = jnp.asarray(B)
-    if jnp.dtype(B.dtype) == jnp.float64:
-        return _xla.mult_dense(h.xla_handle, B)
     out_dtype = _xla._result_dtype(h.csr._required_values().dtype, B.dtype)
+    if jnp.dtype(out_dtype) == jnp.float64:
+        if h.csr.nnz > 0 and _dense_affordable(h.csr, jnp.float64):
+            # f64 fast path: emulated dense f64 matmul, ~2x the XLA
+            # scatter-add formulation above ~6e-3 density (docs/perf.md)
+            return jnp.dot(h.dense64, B.astype(jnp.float64))
+        return _xla.mult_dense(h.xla_handle, B)
     if _dense_affordable(h.csr):
         out = jax.numpy.dot(
             h.dense, B.astype(jnp.float32),
@@ -389,13 +435,21 @@ def _spgemm(a_h, b_h, transpose: bool):
         mul = esc.esc_mult_abt if transpose else esc.esc_mult_ab
         return to_handle(mul(a, b, out_dtype))
     bx = b_h.xla_handle
+    # f64 products keep f64 through the dense intermediate (the XLA
+    # backend does the same; the reference normalizes to f64 for MKL,
+    # reference: csr/kernels/mkl/handle.py:69)
     b_dense = _xla._densify(
-        b_vals, b.colinds, bx.row_ids, b.nrows, b.ncols, jnp.float32
+        b_vals, b.colinds, bx.row_ids, b.nrows, b.ncols,
+        jnp.float64 if out_dtype == jnp.float64 else jnp.float32,
     )
     if transpose:
         b_dense = b_dense.T
     n_out_cols = b_dense.shape[1]
-    if out_dtype != jnp.float64 and _dense_affordable(a):
+    if out_dtype == jnp.float64 and _dense_affordable(a, jnp.float64):
+        # f64 fast path: emulated-f64 dense matmul (~1.5 TFLOP/s on v5e),
+        # ~2x the scatter-add formulation above ~6e-3 density
+        c_dense = jnp.dot(a_h.dense64, b_dense)
+    elif out_dtype != jnp.float64 and _dense_affordable(a):
         c_dense = jax.numpy.dot(
             a_h.dense, b_dense, precision=jax.lax.Precision.HIGHEST
         ).astype(out_dtype)

@@ -95,9 +95,8 @@ def _expand(a_vals, a_cols, a_rids, b_rps, b_cols, b_vals, ex_cum,
     # gathers; the scatter is nnz_a-sized and the cumsum one pass —
     # with the single-sort change below, 2.79x end-to-end on v5e,
     # docs/perf.md round 4)
-    starts = jnp.concatenate(
-        [jnp.zeros(1, ex_cum.dtype), ex_cum[:-1]]
-    ) if nnz_a else ex_cum[:0]
+    assert nnz_a > 0  # _esc_rows returns early for empty A
+    starts = jnp.concatenate([jnp.zeros(1, ex_cum.dtype), ex_cum[:-1]])
     ind = jnp.zeros(n_pad, jnp.int32).at[
         jnp.minimum(starts, n_pad - 1)
     ].add(jnp.where(starts < n_pad, 1, 0).astype(jnp.int32))

@@ -36,8 +36,9 @@ from .partition import DistCSR
 def _local_row_ids(rowptrs, nnz_per: int):
     """Row ids for one padded shard: boundary scatter + cumsum over the
     local rowptrs (searchsorted avoided — see structure._row_ids).
-    Padded entries map to padded rows (whose output is sliced off): the
-    final rowptr boundary is included so positions past it count up to
+    Padded entries map to padded rows (whose output is sliced off):
+    boundaries at ``nnz_per`` are dropped (no positions lie past them),
+    while boundaries below ``nnz_per`` mark the padded positions up to
     the padded row id."""
     bnd = rowptrs[1:]
     ind = jnp.zeros(nnz_per, jnp.int32).at[

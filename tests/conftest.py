@@ -39,6 +39,35 @@ from hypothesis import settings
 
 logging.getLogger("jax").setLevel(logging.WARNING)
 
+# The hypothesis suite jit-compiles tens of thousands of small programs
+# in one process, and every loaded executable adds memory mappings; at
+# the default vm.max_map_count (65530) the process runs out of map slots
+# ~3/4 through a cold run and XLA SEGFAULTS at the next mmap (measured:
+# /proc/<pid>/maps grew 8k -> 63k, then rc=139; crash sites wander
+# between compile/serialize/deserialize because they are just the next
+# mmap).  Raise the limit when we can; warn when we cannot.
+def _ensure_map_count(minimum: int = 262144) -> None:
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            current = int(f.read())
+        if current >= minimum:
+            return
+        with open(path, "w") as f:
+            f.write(str(minimum))
+    except (OSError, ValueError):
+        import warnings
+
+        warnings.warn(
+            f"vm.max_map_count < {minimum} and could not be raised; a full"
+            " cold suite run may exhaust memory maps and crash. Run"
+            f" `sysctl -w vm.max_map_count={minimum}` as root.",
+            stacklevel=1,
+        )
+
+
+_ensure_map_count()
+
 # persistent compilation cache: property-based tests compile many small
 # programs; caching them across runs keeps the suite fast
 import jax

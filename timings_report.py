@@ -28,7 +28,10 @@ def _load_history(path):
         run = json.load(f)
     table = {}
     for r in run["results"]:
-        table[(r["group"], str(r.get("param")), r["kernel"])] = r["ms_per_op"]
+        # rate-style rows (e.g. MultAB-ESC-rate gterms_s, weak-scaling
+        # Gnnz/s) have no ms_per_op; the ms comparison skips them
+        if "ms_per_op" in r:
+            table[(r["group"], str(r.get("param")), r["kernel"])] = r["ms_per_op"]
     return run, table
 
 
@@ -37,10 +40,20 @@ def compare(old_path=None, new_path=None, threshold=0.15):
 
     Returns the number of regressions (for CI exit codes)."""
     if old_path is None or new_path is None:
+        def _is_timing_run(path):
+            # other artifacts share the directory (e.g. weak-scaling
+            # records with their own schema); compare only full
+            # benchmark runs
+            try:
+                with open(path) as f:
+                    return "backend" in json.load(f)
+            except (OSError, ValueError):
+                return False
+
         files = sorted(
-            os.path.join(HISTORY_DIR, f)
-            for f in os.listdir(HISTORY_DIR)
+            p for f in os.listdir(HISTORY_DIR)
             if f.endswith(".json")
+            and _is_timing_run(p := os.path.join(HISTORY_DIR, f))
         )
         if len(files) < 2:
             print(f"need two runs in {HISTORY_DIR} (have {len(files)}); "
