@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .microblock import LANE, MR_BLOCK, MicroBlockLayout
+from .microblock import ACC_GROUP, LANE, MR_BLOCK, MicroBlockLayout
 
 N_TILE = 128
 
@@ -45,7 +45,15 @@ N_TILE = 128
 #: control, scratch/spmm_unroll.py): 5.70 ms serial -> 4.55/3.94/3.66/
 #: 3.47/3.40/3.37 ms at u=2/4/8/16/32/64 — 32 takes the 1.67x with
 #: bounded trace size (full MR_BLOCK unroll would trace 4096 matmuls).
+#: 32 also equals microblock.ACC_GROUP, so each unrolled body covers
+#: exactly one stripe-padding group (uniform rb): partials accumulate in
+#: registers and the body issues ONE output read-modify-write instead of
+#: 32 serially-dependent ones — a further -9% (3.41 -> 3.09 ms, 27.8
+#: Gnnz-col/s; scratch/spmm_group.py).  The partial-sum tree is chunked
+#: 8 at a time: 32 live (128,128) f32 partials overflow the 16 MB
+#: scoped-VMEM stack (measured OOM by 984 KB).
 _UNROLL = 32
+assert _UNROLL == ACC_GROUP  # one body == one uniform-rb stripe group
 
 
 def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb):
@@ -67,9 +75,7 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb
     lo_mask, e_shift = (127, 7) if wb == 1 else (255, 8)
 
     def one(m):
-        rbcb = rbcb_ref[m]
-        cb = rbcb & 0xFFFF
-        rb = rbcb >> 16
+        cb = rbcb_ref[m] & 0xFFFF
         vals = vals_ref[pl.ds(m, 1), :]  # (1, 128) entries along lanes
         meta = meta32_ref[pl.ds(m, 1), :]
         lo = meta & lo_mask
@@ -103,12 +109,21 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        out_ref[pl.ds(rb * LANE, LANE), :] += c_win
+        return c_win
 
     def body(g, _):
         base = pl.multiple_of(g * _UNROLL, _UNROLL)
-        for k in range(_UNROLL):
-            one(base + k)
+        # the layout pads stripes to ACC_GROUP micro-rows, so this whole
+        # group shares one rb window: sum partials in registers
+        # (8-chunked trees — see _UNROLL note) and issue one RMW
+        acc = None
+        for c0 in range(0, _UNROLL, 8):
+            parts = [one(base + c0 + k) for k in range(8)]
+            while len(parts) > 1:
+                parts = [a + b for a, b in zip(parts[::2], parts[1::2])]
+            acc = parts[0] if acc is None else acc + parts[0]
+        rb = rbcb_ref[base] >> 16
+        out_ref[pl.ds(rb * LANE, LANE), :] += acc
         return 0
 
     jax.lax.fori_loop(0, MR_BLOCK // _UNROLL, body, 0, unroll=False)
