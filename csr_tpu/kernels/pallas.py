@@ -363,11 +363,13 @@ def _spmm_viable(csr, n_out_rows: int) -> bool:
 
 
 # Densify-and-matmul threshold.  Measured on v5e (docs/perf.md): the
-# micro-block SpMM and XLA scatter paths both run ~10 Gnnz-col/s, while a
-# dense f32 HIGHEST matmul runs ~8 T MAC/s — dense wins above density
-# ~0.002 whenever the densified matrix fits a memory budget.
+# dense f32 HIGHEST matmul runs ~8.25 T elem-col/s, and the round-5
+# transposed micro-block SpMM runs 62 Gnnz-col/s (it was ~10 when this
+# threshold was 2e-3), so dense wins above density ~62/8250 = 7.5e-3
+# whenever the densified matrix fits the memory budget; the measured
+# flagship point agrees (d=0.02: dense 0.52 ms vs kernel 1.39 ms).
 _DENSIFY_MAX_ELEMS = 2**27  # 512 MB f32
-_DENSIFY_MIN_DENSITY = 2e-3
+_DENSIFY_MIN_DENSITY = 7e-3
 _DENSIFY_MIN_DENSITY_F64 = 6e-3  # measured breakeven vs the XLA f64 paths
 
 

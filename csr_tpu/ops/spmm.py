@@ -3,23 +3,40 @@ Pallas TPU SpMM kernel: sparse (micro-block) x dense-tall.
 
 ``C = A @ B`` with A in micro-block layout and B dense ``(k, n)``.
 
-Where SpMV uses ``dynamic_gather`` + lane cumsum, SpMM routes everything
-through the MXU: for each micro-row (128 entries in one 128x128
-row/column window) we build two selection matrices from the layout and
-contract them on the systolic array:
+Transposed formulation (round 5): B and the output live TRANSPOSED in
+VMEM so both random accesses ride the lane axis — the one axis
+``dynamic_gather`` supports at 128 width:
 
-* ``S[c, e] = vals[e] * (lo[e] == c)`` — scaled column-selection one-hot.
-  ``dot(S, B_win)`` contracted over ``c`` gathers and scales the needed
-  B rows: the MXU does the "gather".
-* ``R[e, r] = (eposprev[r] <= e < epos[r])`` — row-membership mask.
-  ``dot(R, .)`` contracted over ``e`` performs the segment reduction: the
-  MXU does the "scatter-add".
+* ``g_t[n, e] = B_t[n, cb*128 + lo[e]]`` — ONE lane ``take_along_axis``
+  replaces the one-hot "MXU gather" matmul of the earlier formulation;
+* ``cum_t = (g_t * vals) @ U`` with U the strict upper-triangular ones
+  matrix — ONE MXU matmul computes exclusive prefix sums over the
+  micro-row's (row-sorted) entries for all N columns at once;
+* ``H_t[n, r] = cum_t[n, epos[r]]`` — one more lane gather at the
+  precomputed row-boundary prefix counts (``epos``, in [0,127] by the
+  SLOT_CAP=127 layout bound) yields CUMULATIVE per-row sums, exactly the
+  SpMV kernel's stage-3 scheme (csr_tpu/ops/spmv.py) vectorized over B
+  columns.  The per-row difference commutes with accumulation and is
+  deferred to ONE masked lane-roll pass at the last grid step.
 
-Both one-hots are built with broadcast compares oriented so no in-kernel
-transposes are needed (the varying operand always varies along the lane
-axis).  Cost: ~4 MXU FLOPs per stored entry per output column plus ~100
-vector instructions per 128 entries — MXU-bound for wide B, which is the
-right place to be on TPU.
+The per-micro-row work is 1 matmul + 2 lane gathers + 2 broadcasts —
+half the MXU flops and a fraction of the VPU work of the previous
+one-hot/membership-matrix formulation (which built (win,128) and
+(128,128) select masks per micro-row).  Output accumulation issues one
+read-modify-write per ACC_GROUP-aligned micro-row group (the layout
+pads stripes so aligned groups share one rb window — the same invariant
+SpMV's stage 4 uses), with partials summed in 8-chunked register trees
+(32 live (128,128) f32 partials overflow the 16 MB scoped-VMEM stack;
+measured OOM by 984 KB).
+
+Measured on v5e at the 4096^2 d=0.02 flagship, B 4096x256
+(docs/perf.md round 5, in-process controls):
+serial one-hot body 5.70 ms -> 32x unroll 3.41 -> grouped RMW 3.08 ->
+transposed 1-matmul formulation **1.39 ms = 61.9 Gnnz-col/s** (4.1x
+total).  Accuracy: the cumsum-difference reduction carries the same
+accumulation error model as the SpMV kernel (~2e-6 relative at the
+flagship vs 4e-7 for the membership-matrix form; the suite's 5e-4 SpMM
+tolerance covers both with large headroom).
 
 Replaces the dense-operand half of the reference's SpGEMM paths
 (reference: csr/kernels/numba/multiply.py:103-129 numeric pass).
@@ -38,25 +55,16 @@ from .microblock import ACC_GROUP, LANE, MR_BLOCK, MicroBlockLayout
 
 N_TILE = 128
 
-#: micro-rows traced per loop body.  The per-micro-row chain (one-hot
-#: build -> 2 MXU matmuls -> output RMW) is serial; unrolling lets
-#: Mosaic overlap iteration u+1's VPU one-hot build with iteration u's
-#: matmuls.  Measured on v5e at the 4096^2 d=0.02 flagship (in-process
-#: control, scratch/spmm_unroll.py): 5.70 ms serial -> 4.55/3.94/3.66/
-#: 3.47/3.40/3.37 ms at u=2/4/8/16/32/64 — 32 takes the 1.67x with
-#: bounded trace size (full MR_BLOCK unroll would trace 4096 matmuls).
-#: 32 also equals microblock.ACC_GROUP, so each unrolled body covers
-#: exactly one stripe-padding group (uniform rb): partials accumulate in
-#: registers and the body issues ONE output read-modify-write instead of
-#: 32 serially-dependent ones — a further -9% (3.41 -> 3.09 ms, 27.8
-#: Gnnz-col/s; scratch/spmm_group.py).  The partial-sum tree is chunked
-#: 8 at a time: 32 live (128,128) f32 partials overflow the 16 MB
-#: scoped-VMEM stack (measured OOM by 984 KB).
+#: micro-rows traced per loop body.  Unrolling lets Mosaic overlap one
+#: micro-row's VPU gathers with another's MXU matmul; 32 equals
+#: microblock.ACC_GROUP, so each body covers exactly one stripe-padding
+#: group (uniform rb) and issues a single grouped RMW (module docstring).
 _UNROLL = 32
 assert _UNROLL == ACC_GROUP  # one body == one uniform-rb stripe group
 
 
-def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb):
+def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, bt_ref, out_ref, meta32_ref,
+                 *, wb):
     i = pl.program_id(1)  # micro-row block step (minor: B/out tiles stay put)
     win = wb * LANE  # columns per micro-row window (128 or 256)
 
@@ -69,53 +77,52 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb
     # alignment is unprovable), i32 rows can.
     meta32_ref[:] = meta_ref[:].astype(jnp.int32)
 
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (win, LANE), 0)
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    U = jnp.where(li < lj, 1.0, 0.0)
     lo_mask, e_shift = (127, 7) if wb == 1 else (255, 8)
 
-    def one(m):
-        cb = rbcb_ref[m] & 0xFFFF
-        vals = vals_ref[pl.ds(m, 1), :]  # (1, 128) entries along lanes
-        meta = meta32_ref[pl.ds(m, 1), :]
+    def one(mr):
+        cb = rbcb_ref[mr] & 0xFFFF
+        vals = vals_ref[pl.ds(mr, 1), :]
+        meta = meta32_ref[pl.ds(mr, 1), :]
         lo = meta & lo_mask
-        epos = meta >> e_shift
+        epos = (meta >> e_shift) & 127
 
-        # S[c, e]: scaled one-hot of each entry's window column
-        lo_b = jnp.broadcast_to(lo, (win, LANE))
-        vals_b = jnp.broadcast_to(vals, (win, LANE))
-        S = jnp.where(c_iota == lo_b, vals_b, 0.0)
+        # lane gather of each entry's B column (transposed layout); the
+        # 256-wide double window picks between two 128-lane gathers with
+        # one select, exactly as the SpMV kernel's stage 2
+        if wb == 1:
+            bt_win = bt_ref[:, pl.ds(cb * LANE, LANE)]
+            g_t = jnp.take_along_axis(
+                bt_win, jnp.broadcast_to(lo, (N_TILE, LANE)), axis=1
+            )
+        else:
+            lo7 = jnp.broadcast_to(lo & 127, (N_TILE, LANE))
+            g0 = jnp.take_along_axis(
+                bt_ref[:, pl.ds(cb * win, LANE)], lo7, axis=1
+            )
+            g1 = jnp.take_along_axis(
+                bt_ref[:, pl.ds(cb * win + LANE, LANE)], lo7, axis=1
+            )
+            g_t = jnp.where(jnp.broadcast_to(lo, (N_TILE, LANE)) < 128, g0, g1)
+        p_t = g_t * jnp.broadcast_to(vals, (N_TILE, LANE))
 
-        # R[e, r]: row membership from boundary prefix counts
-        eposprev = pltpu.roll(epos, 1, axis=1)
-        eposprev = jnp.where(lane == 0, 0, eposprev)
-        ep_b = jnp.broadcast_to(epos, (LANE, LANE))
-        epp_b = jnp.broadcast_to(eposprev, (LANE, LANE))
-        R = jnp.where((e_iota >= epp_b) & (e_iota < ep_b), 1.0, 0.0)
-
-        b_win = b_ref[pl.ds(cb * win, win), :]
-        # gathered[e, :] = vals[e] * B[cb*128 + lo[e], :]  (MXU).  HIGHEST
-        # precision: the MXU multiplies in bf16 by default, which is not
-        # accurate enough for value data (S carries the values).
-        gathered = jax.lax.dot_general(
-            S, b_win, (((0,), (0,)), ((), ())),
+        # exclusive prefix over the micro-row's entries (MXU), then the
+        # boundary gather at epos -> CUMULATIVE per-row sums
+        cum_t = jax.lax.dot_general(
+            p_t, U, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        # c_win[r, :] = sum of gathered over entries of row r  (MXU);
-        # R is 0/1 (bf16-exact) but gathered is value data
-        c_win = jax.lax.dot_general(
-            R, gathered, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+        return jnp.take_along_axis(
+            cum_t, jnp.broadcast_to(epos, (N_TILE, LANE)), axis=1
         )
-        return c_win
 
     def body(g, _):
         base = pl.multiple_of(g * _UNROLL, _UNROLL)
-        # the layout pads stripes to ACC_GROUP micro-rows, so this whole
-        # group shares one rb window: sum partials in registers
-        # (8-chunked trees — see _UNROLL note) and issue one RMW
+        # one stripe group: sum partials in registers (8-chunked trees),
+        # one RMW into the group's rb window
         acc = None
         for c0 in range(0, _UNROLL, 8):
             parts = [one(base + c0 + k) for k in range(8)]
@@ -123,10 +130,20 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb
                 parts = [a + b for a, b in zip(parts[::2], parts[1::2])]
             acc = parts[0] if acc is None else acc + parts[0]
         rb = rbcb_ref[base] >> 16
-        out_ref[pl.ds(rb * LANE, LANE), :] += acc
+        out_ref[:, pl.ds(rb * LANE, LANE)] += acc
         return 0
 
     jax.lax.fori_loop(0, MR_BLOCK // _UNROLL, body, 0, unroll=False)
+
+    # final pass: one masked lane-roll difference turns the accumulated
+    # cumulative sums into per-row results (window boundary every 128
+    # lanes)
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        acc_c = out_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, acc_c.shape, 1)
+        sh = pltpu.roll(acc_c, 1, axis=1)
+        out_ref[:] = acc_c - jnp.where(lane % LANE == 0, 0.0, sh)
 
 
 @functools.partial(
@@ -134,7 +151,7 @@ def _spmm_kernel(rbcb_ref, vals_ref, meta_ref, b_ref, out_ref, meta32_ref, *, wb
     static_argnames=("m_pad", "rb_count", "k_pad", "n_pad", "interpret", "wb"),
 )
 def _spmm_call(
-    vals, meta, rbcb, b_pad,
+    vals, meta, rbcb, bt_pad,
     m_pad: int, rb_count: int, k_pad: int, n_pad: int, interpret: bool,
     wb: int = 1,
 ):
@@ -147,23 +164,23 @@ def _spmm_call(
             pl.BlockSpec((MR_BLOCK,), lambda j, i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
             pl.BlockSpec((MR_BLOCK, LANE), lambda j, i: (i, 0)),
-            pl.BlockSpec((k_pad, N_TILE), lambda j, i: (0, j)),
+            pl.BlockSpec((N_TILE, k_pad), lambda j, i: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((rb_count * LANE, N_TILE), lambda j, i: (0, j)),
+        out_specs=pl.BlockSpec((N_TILE, rb_count * LANE), lambda j, i: (j, 0)),
         scratch_shapes=[pltpu.VMEM((MR_BLOCK, LANE), jnp.int32)],
     )
     return pl.pallas_call(
         functools.partial(_spmm_kernel, wb=wb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rb_count * LANE, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, rb_count * LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * m_pad * LANE * LANE * n_pad,
+            flops=2 * m_pad * LANE * LANE * n_pad // N_TILE,
             bytes_accessed=n_n * m_pad * LANE * 6 + k_pad * n_pad * 4
             + rb_count * LANE * n_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rbcb, vals, meta, b_pad)
+    )(rbcb, vals, meta, bt_pad)
 
 
 def spmm(layout: MicroBlockLayout, b, *, interpret: bool = False):
@@ -175,11 +192,13 @@ def spmm(layout: MicroBlockLayout, b, *, interpret: bool = False):
     rb_count = max(layout.rb_count, 1)
     k_pad = cb_count * LANE
     n_pad = max(-(-n // N_TILE) * N_TILE, N_TILE)
-    b_pad = jnp.zeros((k_pad, n_pad), jnp.float32)
-    b_pad = b_pad.at[:k, :n].set(b.astype(jnp.float32))
-    out = _spmm_call(
-        layout.vals, layout.meta, layout.rbcb, b_pad,
+    # B rides transposed so the kernel's gathers stay on the lane axis;
+    # the (cheap, bandwidth-bound) transposes happen in XLA outside
+    bt_pad = jnp.zeros((n_pad, k_pad), jnp.float32)
+    bt_pad = bt_pad.at[:n, :k].set(b.astype(jnp.float32).T)
+    out_t = _spmm_call(
+        layout.vals, layout.meta, layout.rbcb, bt_pad,
         layout.vals.shape[0], rb_count, k_pad, n_pad, interpret,
         wb=layout.window // LANE,
     )
-    return out[: layout.nrows, :n]
+    return out_t.T[: layout.nrows, :n]
